@@ -1,0 +1,321 @@
+# Public API: rmtExe(modelInput) / rmtCom().
+#
+# Same dict-in / dataPack-out contract as the reference
+# (reference: PyREMOT/rmt.py:21-92, PyREMOT/docs/rmtCore.py:63-127):
+# modelInput validated, model id dispatched, result wrapped as
+# {"resModel": ..., "comTime": ...}. The compute path is a cached jitted
+# JAX program per model structure; repeated calls with the same structure
+# (e.g. parameter sweeps) reuse the compiled executable.
+
+from __future__ import annotations
+
+from timeit import default_timer as timer
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.species import SPECIES, UnknownComponentError, species_index
+from ..models import homo
+from ..solvers import dopri5, fixed, radau
+from ..utils import roundNum
+
+ISO = homo.ISO_THERMAL
+
+# model ids implemented natively so far; remaining reference ids raise a
+# clear NotImplementedError until their build step lands
+_MODEL_IDS = {
+    "N1": "steady-state homogenous packed bed reactor non-isothermal plug-flow",
+    "N2": "dynamic homogenous packed bed reactor non-isothermal plug-flow",
+}
+
+_SOLVER_SETTING = {
+    "N1": {"zNo": 100},
+    "N2": {"zNo": 20, "tNo": 5, "timesNo": 5},
+    "AM_n": 100,
+}
+
+_DEFAULT_RTOL = 1e-7
+_DEFAULT_ATOL = 1e-10
+
+_jit_cache: dict[tuple, Any] = {}
+
+
+def _stats_dict(stats):
+    return {k: int(v) for k, v in stats._asdict().items()}
+
+
+def rmtCom() -> str:
+    """List components available in the database (reference: rmt.py:83-92)."""
+    return ",".join(SPECIES)
+
+
+def _check_components(model_input: Mapping[str, Any]) -> None:
+    comps: list[str] = []
+    fe_com = model_input["feed"]["components"]
+    for key in ("shell", "tube", "medium"):
+        if fe_com.get(key):
+            comps.extend(fe_com[key])
+    for c in dict.fromkeys(comps):
+        species_index(c)  # raises UnknownComponentError on miss
+
+
+def _solver_options(model_input: Mapping[str, Any]) -> dict[str, Any]:
+    sc = model_input.get("solver-config", {})
+    ivp = sc.get("ivp", "default")
+    return {
+        "ivp": ivp,
+        "rtol": float(sc.get("rtol", _DEFAULT_RTOL)),
+        "atol": float(sc.get("atol", _DEFAULT_ATOL)),
+        "display": sc.get("display-result", "False") == "True",
+    }
+
+
+def _cache_key(model: str, spec: homo.HomoSpec, model_input, opts) -> tuple:
+    rr = model_input["reaction-rates"]
+    return (
+        model,
+        spec.comp_list,
+        spec.iso_thermal,
+        tuple(model_input["reactions"].values()),
+        id(rr["VARS"]),
+        id(rr["RATES"]),
+        tuple(sorted(model_input.get("kinetic-overrides", {}).keys())),
+        spec.z_no,
+        spec.t_no,
+        spec.times_no,
+        spec.z_out,
+        opts["ivp"],
+        opts["rtol"],
+        opts["atol"],
+        jax.config.jax_enable_x64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# N1
+# ---------------------------------------------------------------------------
+
+def _n1_runner(spec: homo.HomoSpec, opts):
+    rhs = homo.make_n1_rhs(spec)
+    rtol, atol = opts["rtol"], opts["atol"]
+
+    def run(p):
+        d = homo.feed_state(spec, p)
+        y0 = homo.n1_initial_state(spec, p, d)
+        ts = jnp.linspace(0.0, 1.0, spec.z_out + 1).astype(y0.dtype)
+        if opts["ivp"] == "AM":
+            ys = fixed.precorr3(
+                lambda t, y: rhs(t, y, p, d), 0.0, 1.0, _SOLVER_SETTING["AM_n"], y0
+            )
+            stats = dopri5.Dopri5Stats(*(jnp.asarray(0, jnp.int32),) * 3)
+            idxs = jnp.round(jnp.linspace(0, _SOLVER_SETTING["AM_n"], spec.z_out + 1)).astype(int)
+            ys = ys[idxs]
+        elif opts["ivp"] in ("RK45", "dopri5"):
+            ys, stats = dopri5.odeint(
+                lambda t, y: rhs(t, y, p, d), y0, ts, rtol=rtol, atol=atol
+            )
+        else:  # default / LSODA / BDF / Radau -> stiff Radau IIA(5)
+            ys, stats = radau.odeint(
+                lambda t, y: rhs(t, y, p, d), y0, ts, rtol=rtol, atol=atol
+            )
+        return ys.T, stats  # (varNo, z_out+1)
+
+    return jax.jit(run)
+
+
+def _run_n1(model_input, spec: homo.HomoSpec, opts):
+    start = timer()
+    p = homo.build_params(model_input)
+    key = _cache_key("N1", spec, model_input, opts)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        runner = _n1_runner(spec, opts)
+        _jit_cache[key] = runner
+    ys, stats = runner(p)
+    ys = np.asarray(ys)
+
+    comp_list = list(spec.comp_list)
+    n_comp = spec.n_comp
+    iso = spec.iso_thermal
+    n_cols = spec.z_out + 1
+
+    sp_coi0 = np.asarray(p["SpCoi0"])
+    c_max = np.max(sp_coi0)
+    Pf = float(p["P0"])
+    Tf = float(p["T0"])
+
+    conc_dl = ys[:n_comp]
+    press_dl = ys[n_comp]
+    temp_dl = ys[n_comp + 1] if not iso else np.zeros(n_cols)
+
+    conc_re = conc_dl * c_max
+    press_re = (press_dl * Pf).reshape(1, n_cols)
+    temp_re = (temp_dl * Tf + Tf).reshape(1, n_cols)
+
+    mo_fri = conc_re / np.sum(conc_re, axis=0)
+    if not iso:
+        data_ys_all = np.concatenate([mo_fri, press_re, temp_re], axis=0)
+    else:
+        data_ys_all = np.concatenate([mo_fri, press_re], axis=0)
+
+    label_list = comp_list + ["Pressure"] + ([] if iso else ["Temperature"])
+    data_xs = np.linspace(0.0, 1.0, n_cols)
+    elapsed = roundNum(timer() - start)
+
+    return [
+        {
+            "modelId": model_input["model"],
+            "processType": ISO if iso else model_input["operating-conditions"]["process-type"],
+            "successStatus": True,
+            "computation-time": elapsed,
+            "dataShape": data_xs.shape,
+            "labelList": label_list,
+            "indexList": [n_comp, n_comp, n_comp + 1],
+            "dataTime": [],
+            "dataXs": data_xs,
+            "dataYCons1": conc_dl,
+            "dataYCons2": conc_re,
+            "dataYTemp1": temp_dl,
+            "dataYTemp2": temp_re,
+            "dataYs": data_ys_all,
+            "solverStats": _stats_dict(stats),
+        }
+    ]
+
+
+# ---------------------------------------------------------------------------
+# N2
+# ---------------------------------------------------------------------------
+
+def _n2_runner(spec: homo.HomoSpec, opts):
+    rhs = homo.make_n2_rhs(spec)
+    rtol, atol = opts["rtol"], opts["atol"]
+
+    def run(p):
+        d = homo.feed_state(spec, p)
+        y0 = homo.n2_initial_state(spec, p, d)
+        ts = (p["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(y0.dtype)
+        if opts["ivp"] == "AM":
+            n = _SOLVER_SETTING["AM_n"]
+
+            def seg(y, tpair):
+                ys = fixed.precorr3(
+                    lambda t, y_: rhs(t, y_, p, d), tpair[0], tpair[1], n, y
+                )
+                return ys[-1], ys[-1]
+
+            _, ys = jax.lax.scan(seg, y0, jnp.stack([ts[:-1], ts[1:]], axis=1))
+            ys = jnp.concatenate([y0[None], ys], axis=0)
+            stats = dopri5.Dopri5Stats(*(jnp.asarray(0, jnp.int32),) * 3)
+        elif opts["ivp"] in ("RK45", "dopri5"):
+            ys, stats = dopri5.odeint(
+                lambda t, y: rhs(t, y, p, d), y0, ts, rtol=rtol, atol=atol
+            )
+        else:  # default / LSODA / BDF / Radau -> stiff Radau IIA(5)
+            ys, stats = radau.odeint(
+                lambda t, y: rhs(t, y, p, d), y0, ts, rtol=rtol, atol=atol
+            )
+        return ys, stats  # (tNo+1, varNo*zNo)
+
+    return jax.jit(run)
+
+
+def _run_n2(model_input, spec: homo.HomoSpec, opts):
+    start = timer()
+    p = homo.build_params(model_input)
+    key = _cache_key("N2", spec, model_input, opts)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        runner = _n2_runner(spec, opts)
+        _jit_cache[key] = runner
+    ys, stats = runner(p)
+    ys = np.asarray(ys)
+
+    comp_list = list(spec.comp_list)
+    n_comp = spec.n_comp
+    iso = spec.iso_thermal
+    z_no = spec.z_no
+    var_no = spec.var_no_n2
+
+    sp_coi0 = np.asarray(p["SpCoi0"])
+    c_max = np.max(sp_coi0)
+    Tf = float(p["T0"])
+    op_t = float(p["opT"])
+    t_bounds = op_t * np.linspace(0.0, 1.0, spec.t_no + 1)
+
+    label_list = comp_list + ["Temperature"]
+    data_xs = np.linspace(0.0, 1.0, z_no)
+
+    data_pack = []
+    for i in range(spec.t_no):
+        reshaped = ys[i + 1].reshape(var_no, z_no)
+        # QUIRK: dataYCons1 always drops the last row even in iso mode
+        # (pbHomoReactor.py:3638)
+        conc_dl = reshaped[:-1]
+        temp_dl = reshaped[-1] if not iso else np.zeros(z_no)
+
+        conc_all = reshaped[:-1] if not iso else reshaped
+        conc_re = conc_all * c_max
+        temp_re = (temp_dl * Tf + Tf).reshape(1, z_no)
+
+        mo_fri = conc_re / np.sum(conc_re, axis=0)
+        data_ys_all = np.concatenate([mo_fri, temp_re], axis=0)
+
+        data_pack.append(
+            {
+                "modelId": model_input["model"],
+                "processType": ISO if iso else model_input["operating-conditions"]["process-type"],
+                "successStatus": True,
+                "dataShape": np.array(t_bounds[i + 1]).shape,
+                "labelList": label_list,
+                "indexList": [n_comp, n_comp + 1, n_comp],
+                "dataTime": t_bounds[i + 1],
+                "dataXs": data_xs,
+                "dataYCons1": conc_dl,
+                "dataYCons2": conc_re,
+                "dataYTemp1": temp_dl,
+                "dataYTemp2": temp_re,
+                "dataYs": data_ys_all,
+            }
+        )
+
+    elapsed = roundNum(timer() - start)
+    return {
+        "computation-time": elapsed,
+        "dataPack": data_pack,
+        "solverStats": _stats_dict(stats),
+    }
+
+
+# ---------------------------------------------------------------------------
+
+def rmtExe(modelInput: Mapping[str, Any]):
+    """Check model input, then start computation (reference: rmt.py:21-80)."""
+    tic = timer()
+    model_type = modelInput["model"]
+    _check_components(modelInput)
+
+    if model_type in ("N1", "N2"):
+        spec = homo.build_spec(modelInput)
+        opts = _solver_options(modelInput)
+        if model_type == "N1":
+            res_model = _run_n1(modelInput, spec, opts)
+        else:
+            res_model = _run_n2(modelInput, spec, opts)
+        if opts["display"]:
+            from ..io import plot as _plot
+
+            if model_type == "N1":
+                _plot.plot_results_steady_state(res_model)
+            else:
+                _plot.plot_results_dynamic(res_model, spec.t_no)
+    else:
+        raise NotImplementedError(
+            f"model id {model_type!r} is not implemented yet in rmt_tpu "
+            f"(implemented: {', '.join(sorted(_MODEL_IDS))})"
+        )
+
+    com_time = (timer() - tic) * 1000
+    return {"resModel": res_model, "comTime": com_time}

@@ -1,0 +1,31 @@
+# Global numeric configuration.
+#
+# The reference runs everything in NumPy float64. To reproduce its results to
+# <=1e-6 relative error the solver pipeline defaults to float64
+# (jax_enable_x64). On TPU float64 is software-emulated; for throughput-first
+# ensemble runs set RMT_TPU_X64=0 (or call setup(x64=False)) to run float32.
+
+import os
+
+import jax
+
+_CONFIGURED = False
+
+
+def setup(x64: bool | None = None) -> None:
+    """Configure JAX for the framework. Idempotent; call before tracing."""
+    global _CONFIGURED
+    if x64 is None:
+        x64 = os.environ.get("RMT_TPU_X64", "1") != "0"
+    jax.config.update("jax_enable_x64", bool(x64))
+    _CONFIGURED = True
+
+
+def x64_enabled() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+def default_float():
+    import jax.numpy as jnp
+
+    return jnp.float64 if x64_enabled() else jnp.float32

@@ -1,0 +1,349 @@
+# Pseudo-homogeneous packed-bed reactor models (N1 steady / N2 dynamic),
+# dimensionless formulation, as pure jittable functions.
+#
+# The reference implements these as ~1400-line python methods with a per-node
+# loop in the dynamic RHS (reference: PyREMOT/docs/pbHomoReactor.py:2694-3314
+# for N1 runN1/modelEquationN1 and 3319-4134 for N2 runN2/modelEquationN2).
+# Here the same math is expressed as
+#   * a feed-state block computed in jnp from the raw operating parameters
+#     (so inlet T/P/composition are vmap-able ensemble axes),
+#   * a vectorized RHS: the N2 z-loop becomes stencil shifts + one lax.scan
+#     for the explicit axial pressure march,
+#   * a kinetics call that evaluates the user's DSL program batched over all
+#     axial nodes at once.
+# Deliberate quirk-for-quirk reproductions are marked QUIRK with the
+# reference line they mirror.
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EPS_CONST, PI_CONST, R_CONST, Tref
+from ..data import species as DB
+from ..kinetics.dsl import RateProgram
+from ..kinetics.stoich import Stoichiometry
+from ..props import thermo, transport
+
+ISO_THERMAL = "iso-thermal"
+
+
+@dataclass(frozen=True)
+class HomoSpec:
+    """Static (trace-time) description of a homogeneous reactor model."""
+
+    comp_list: tuple[str, ...]
+    iso_thermal: bool
+    stoich: Stoichiometry = field(hash=False, compare=False)
+    rates: RateProgram = field(hash=False, compare=False)
+    z_no: int = 20          # N2 axial nodes
+    t_no: int = 5           # N2 outer time intervals
+    times_no: int = 5       # N2 saved points per interval
+    z_out: int = 100        # N1 output points (zNo in solverSetting['N1'])
+
+    @property
+    def n_comp(self) -> int:
+        return len(self.comp_list)
+
+    @property
+    def comp_idx(self) -> np.ndarray:
+        return DB.species_indices(self.comp_list)
+
+    @property
+    def var_no_n1(self) -> int:
+        return self.n_comp + (1 if self.iso_thermal else 2)
+
+    @property
+    def var_no_n2(self) -> int:
+        return self.n_comp + (0 if self.iso_thermal else 1)
+
+
+def build_spec(model_input: Mapping[str, Any], **solver_overrides) -> HomoSpec:
+    comp_list = tuple(model_input["feed"]["components"]["shell"])
+    process_type = model_input["operating-conditions"].get("process-type", ISO_THERMAL)
+    stoich = Stoichiometry(model_input["reactions"], comp_list)
+    rates = RateProgram(
+        model_input["reaction-rates"]["VARS"], model_input["reaction-rates"]["RATES"]
+    )
+    return HomoSpec(
+        comp_list=comp_list,
+        iso_thermal=(process_type == ISO_THERMAL),
+        stoich=stoich,
+        rates=rates,
+        **solver_overrides,
+    )
+
+
+def build_params(model_input: Mapping[str, Any]) -> dict[str, Any]:
+    """Numeric parameter pytree (every leaf is vmap-able / differentiable)."""
+    oc = model_input["operating-conditions"]
+    feed = model_input["feed"]
+    re_spec = model_input["reactor"]
+    ex_he = model_input.get("external-heat", {"OvHeTrCo": 0.0, "EfHeTrAr": 0.0, "MeTe": 0.0})
+    f = lambda x: jnp.asarray(x, dtype=jnp.result_type(float))
+    return {
+        "P0": f(oc["pressure"]),
+        "T0": f(oc["temperature"]),
+        "opT": f(oc.get("period", 1.0)),
+        "VoFlRa0": f(feed["volumetric-flowrate"]),
+        "SpCoi0": f(np.asarray(feed["concentration"], dtype=np.float64)),
+        "U": f(ex_he["OvHeTrCo"]),
+        "Tm": f(ex_he["MeTe"]),
+        "ReInDi": f(re_spec["ReInDi"]),
+        "ReLe": f(re_spec["ReLe"]),
+        "PaDi": f(re_spec["PaDi"]),
+        "BeVoFr": f(re_spec["BeVoFr"]),
+        "CaBeDe": f(re_spec["CaBeDe"]),
+        "kinetic_overrides": {
+            k: f(v) for k, v in model_input.get("kinetic-overrides", {}).items()
+        },
+    }
+
+
+def feed_state(spec: HomoSpec, p: Mapping[str, Any]) -> dict[str, Any]:
+    """Inlet/feed-derived reference scales (pbHomoReactor.py:2744-2827)."""
+    idx = spec.comp_idx
+    mw = jnp.asarray(DB.MW[idx])
+
+    cr_se_ar = PI_CONST * p["ReInDi"] ** 2 / 4
+    sp_coi0 = p["SpCoi0"]
+    sp_co0 = jnp.sum(sp_coi0)
+    su_ga_ve0 = p["VoFlRa0"] / cr_se_ar
+    in_ga_ve0 = p["VoFlRa0"] / (cr_se_ar * p["BeVoFr"])
+    mo_fri0 = sp_coi0 / sp_co0
+
+    ga_vii0 = transport.viscosity(p["T0"], idx)
+    ga_mi_vi = transport.wilke_mixture(ga_vii0, mo_fri0, mw)
+
+    cp_mean0 = thermo.cp_mean(p["T0"], idx)            # [kJ/kmol.K]
+    cp_mix0 = thermo.cp_mix(mo_fri0, cp_mean0)
+    mi_mo_we0 = thermo.mixture_molecular_weight(mo_fri0, mw, "kg/mol")
+    ga_de0 = thermo.density_ig(mi_mo_we0, sp_co0)
+
+    # QUIRK: MODEL_SETTING['GaMaCoTe0'] == "MAX" -- the mass convective
+    # reference scale uses max(Cif) for every species, and dimensionless
+    # concentrations are y_i = C_i / max(C_f) (modelSetting.py:17,
+    # pbHomoReactor.py:2819-2821,2833)
+    c_max = jnp.max(sp_coi0)
+    vf = su_ga_ve0
+    zf = p["ReLe"]
+    ga_ma_co_te0 = (vf / zf) * c_max                    # scalar (MAX mode)
+    ga_he_co_te0 = ga_de0 * vf * p["T0"] * (cp_mix0 / mi_mo_we0) / zf
+
+    # QUIRK: the heat-exchange area term is always 4/ReInDi, the user's
+    # EfHeTrAr input is ignored (pbHomoReactor.py:2778,3411)
+    a_eff = 4 / p["ReInDi"]
+
+    return {
+        "mw": mw,
+        "CrSeAr": cr_se_ar,
+        "SpCo0": sp_co0,
+        "SuGaVe0": su_ga_ve0,
+        "InGaVe0": in_ga_ve0,
+        "MoFri0": mo_fri0,
+        "GaMiVi": ga_mi_vi,
+        "GaCpMeanMix0": cp_mix0,
+        "MiMoWe0": mi_mo_we0,
+        "GaDe0": ga_de0,
+        "Cmax": c_max,
+        "vf": vf,
+        "zf": zf,
+        "GaMaCoTe0": ga_ma_co_te0,
+        "GaHeCoTe0": ga_he_co_te0,
+        "aEff": a_eff,
+    }
+
+
+def _heat_exchange(Tm, T, U, a):
+    """Qm [J/m^3.s]; Tm == 0 means adiabatic (rmtUtility.py:437-444)."""
+    return jnp.where(Tm == 0, 0.0, U * a * (Tm - T))
+
+
+def _reaction_energetics(spec: HomoSpec, T_real):
+    """Heat of reaction at T [kJ/kmol] per reaction (rmtThermo.py:258-312).
+
+    T_real may be scalar (N1) or (zNo,) (N2); returns (..., n_rxn).
+    """
+    eq_cp_mean = thermo.cp_mean(T_real, spec.stoich.eq_idx)     # (..., n_eq)
+    en_ch = (eq_cp_mean @ spec.stoich.eq_nu.T) * (jnp.asarray(T_real)[..., None] - Tref)
+    return en_ch + jnp.asarray(spec.stoich.dh_rxn_25)
+
+
+# ---------------------------------------------------------------------------
+# N1: steady-state dimensionless model (z is the integration variable)
+# ---------------------------------------------------------------------------
+
+def n1_initial_state(spec: HomoSpec, p, d):
+    iv_c = p["SpCoi0"] / d["Cmax"]                     # pbHomoReactor.py:2833
+    iv = [iv_c, jnp.ones((1,), iv_c.dtype)]            # P/Pf = 1
+    if not spec.iso_thermal:
+        iv.append(jnp.zeros((1,), iv_c.dtype))         # theta = (T-Tf)/Tf = 0
+    return jnp.concatenate(iv)
+
+
+def make_n1_rhs(spec: HomoSpec):
+    """RHS of the steady model (mirrors modelEquationN1,
+    pbHomoReactor.py:3017-3314)."""
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+
+    def rhs(z, y, p, d):
+        co_spi = y[:n_comp]
+        P_dl = y[n_comp]
+        T_dl = y[n_comp + 1] if not spec.iso_thermal else jnp.asarray(0.0, y.dtype)
+
+        co_spi_re = co_spi * d["Cmax"]
+        co_sp_re = jnp.sum(co_spi_re)
+        T_re = T_dl * p["T0"] + p["T0"]
+        P_re = P_dl * p["P0"]
+        mo_fri = co_spi_re / co_sp_re
+
+        # velocity from EOS (rmtUtility.py:405-421)
+        in_ga_ve = d["InGaVe0"] * (co_sp_re / d["SpCo0"]) * (p["P0"] / P_re)
+        in_ga_ve_dl = in_ga_ve / d["InGaVe0"]
+        su_ga_ve = in_ga_ve * p["BeVoFr"]
+        su_ga_ve_dl = su_ga_ve / d["SuGaVe0"]
+
+        mi_mo_we = thermo.mixture_molecular_weight(mo_fri, d["mw"], "kg/mol")
+        ga_de_eos = thermo.density_ig_eos(P_re, T_re, mi_mo_we)
+        ga_de_dl = ga_de_eos / d["GaDe0"]
+
+        # Ergun momentum balance (pbHomoReactor.py:3214-3220)
+        eps = p["BeVoFr"]
+        erg_a = 150 * d["GaMiVi"] * su_ga_ve / p["PaDi"] ** 2
+        erg_b = (1 - eps) ** 2 / eps**3
+        erg_c = 1.75 * ga_de_eos * su_ga_ve**2 / p["PaDi"]
+        erg_d = (1 - eps) / eps**3
+        dxdt_p = -(erg_a * erg_b + erg_c * erg_d) / (p["P0"] / d["zf"])
+
+        # kinetics: DSL program -> reaction rates -> formation rates
+        r0 = spec.rates(T_re, P_re, mo_fri, co_spi_re, p["kinetic_overrides"])
+        ri = r0 @ nu_comp                               # (n_comp,)
+
+        # energy balance pieces
+        cp_mean_i = thermo.cp_mean(T_re, idx)
+        cp_mix = thermo.cp_mix(mo_fri, cp_mean_i)
+        cp_mix_dl = cp_mix / d["GaCpMeanMix0"]
+        cp_mix_eff_dl = cp_mix_dl * eps
+        he_re_t = _reaction_energetics(spec, T_re)
+        ov_he_re_t = jnp.dot(r0, he_re_t)
+        qm = _heat_exchange(p["Tm"], T_re, p["U"], d["aEff"])
+
+        dxdt_c = (1 / su_ga_ve_dl) * (ri / d["GaMaCoTe0"])
+        out = [dxdt_c, dxdt_p[None]]
+        if not spec.iso_thermal:
+            const_t1 = 1 / (ga_de_dl * cp_mix_eff_dl * in_ga_ve_dl)
+            dxdt_t = const_t1 * ((-ov_he_re_t + qm) / d["GaHeCoTe0"])
+            out.append(dxdt_t[None])
+        return jnp.concatenate(out)
+
+    return rhs
+
+
+# ---------------------------------------------------------------------------
+# N2: dynamic dimensionless model (method of lines in z, time integration)
+# ---------------------------------------------------------------------------
+
+def n2_initial_state(spec: HomoSpec, p, d):
+    c0 = (p["SpCoi0"] / d["Cmax"])[:, None] * jnp.ones((1, spec.z_no))
+    rows = [c0]
+    if not spec.iso_thermal:
+        rows.append(jnp.zeros((1, spec.z_no), c0.dtype))
+    return jnp.concatenate(rows, axis=0).reshape(-1)
+
+
+def make_n2_rhs(spec: HomoSpec):
+    """RHS of the dynamic model (mirrors modelEquationN2,
+    pbHomoReactor.py:3706-4134) with the per-node python loop replaced by
+    array stencils + one lax.scan for the explicit axial pressure march."""
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    z_no = spec.z_no
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    var_no = spec.var_no_n2
+    dz = 1.0 / (z_no - 1)
+
+    def rhs(t, y, p, d):
+        Y = y.reshape(var_no, z_no)
+        c_raw = Y[:n_comp]                              # (n_comp, zNo)
+        # QUIRK: concentrations are clamped at EPS for the source/kinetics
+        # path but the *raw* center value feeds the convection stencil
+        # (pbHomoReactor.py:3899 vs 4086)
+        c_clamped = jnp.maximum(c_raw, EPS_CONST)
+        T_dl = Y[n_comp] if not spec.iso_thermal else jnp.zeros((z_no,), y.dtype)
+
+        co_spi_re = c_clamped * d["Cmax"]
+        T_re = T_dl * p["T0"] + p["T0"]
+        mo_fri = co_spi_re / jnp.sum(co_spi_re, axis=0, keepdims=True)
+        mi_mo_we = thermo.mixture_molecular_weight(mo_fri.T, d["mw"], "kg/mol")
+
+        # frozen-velocity assumption: v_z[z+1] = v_z[z] = SuGaVe0
+        # (QUIRK, pbHomoReactor.py:4066)
+        su_ga_ve = d["SuGaVe0"]
+        v_dl = su_ga_ve / d["vf"]
+        in_ga_ve_dl = (su_ga_ve / p["BeVoFr"]) / d["InGaVe0"]
+
+        # explicit axial pressure march (QUIRK: the momentum balance is an
+        # algebraic forward-Euler update inside the RHS, not an ODE state;
+        # pbHomoReactor.py:3970-3979)
+        eps = p["BeVoFr"]
+        erg_a = 150 * d["GaMiVi"] * su_ga_ve / p["PaDi"] ** 2
+        erg_b = (1 - eps) ** 2 / eps**3
+        erg_c_coef = 1.75 * su_ga_ve**2 / p["PaDi"]
+        erg_d = (1 - eps) / eps**3
+        rg_t = (R_CONST / mi_mo_we) * T_re              # (zNo,)
+
+        def march(P, rgt):
+            ga_de_eos = P / rgt
+            dPdz = -(erg_a * erg_b + erg_c_coef * ga_de_eos * erg_d)
+            return P + dPdz * dz, P
+
+        _, P_z = jax.lax.scan(march, p["P0"], rg_t)     # node values P_z[z]
+
+        ga_de_eos = P_z / rg_t
+        ga_de_dl = ga_de_eos / d["GaDe0"]
+
+        # kinetics batched over the axial nodes
+        rate_fn = lambda T_, P_, mf_, sc_: spec.rates(
+            T_, P_, mf_, sc_, p["kinetic_overrides"]
+        )
+        r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1, 1), out_axes=1)(
+            T_re, P_z, mo_fri, co_spi_re
+        )                                               # (n_rxn, zNo)
+        ri = jnp.einsum("mk,mz->kz", nu_comp, r0)       # (n_comp, zNo)
+
+        cp_mean_i = thermo.cp_mean(T_re, idx)           # (zNo, n_comp)
+        cp_mix = jnp.sum(mo_fri.T * cp_mean_i, axis=-1)
+        cp_mix_dl = cp_mix / d["GaCpMeanMix0"]
+        cp_mix_eff_dl = cp_mix_dl * eps
+        he_re_t = _reaction_energetics(spec, T_re)      # (zNo, n_rxn)
+        ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1)   # (zNo,)
+        qm = _heat_exchange(p["Tm"], T_re, p["U"], d["aEff"])
+
+        const_f1 = 1 / (eps * (d["zf"] / d["vf"]))
+        const_t2 = 1 / (ga_de_dl * cp_mix_dl * eps * (d["zf"] / d["vf"]))
+
+        # backward-difference convection with inlet BC1 (pbHomoReactor.py:4082-4099)
+        c_in = (p["SpCoi0"] / d["Cmax"])[:, None]
+        c_back = jnp.concatenate([c_in, c_clamped[:, :-1]], axis=1)
+        dcdz = (c_raw - c_back) / dz
+        dxdt_c = const_f1 * (-v_dl * dcdz + ri / d["GaMaCoTe0"])
+
+        rows = [dxdt_c]
+        if not spec.iso_thermal:
+            t_back = jnp.concatenate([jnp.zeros((1,), T_dl.dtype), T_dl[:-1]])
+            dtdz = (T_dl - t_back) / dz
+            convective = -in_ga_ve_dl * ga_de_dl * cp_mix_eff_dl * dtdz
+            formation = -ov_he_re_t / d["GaHeCoTe0"]
+            exchange = qm / d["GaHeCoTe0"]
+            dxdt_t = const_t2 * (convective + formation + exchange)
+            rows.append(dxdt_t[None])
+
+        return jnp.concatenate(rows, axis=0).reshape(-1)
+
+    return rhs
