@@ -1,0 +1,8 @@
+from .ensemble import (
+    batch_params,
+    make_mesh,
+    make_n1_ensemble,
+    make_n2_ensemble,
+    run_n2_ensemble,
+    shard_batch,
+)

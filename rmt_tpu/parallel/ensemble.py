@@ -1,0 +1,156 @@
+# Ensemble execution: vmapped reactor batches sharded over a device mesh.
+#
+# This is the capability the reference cannot express: its only "ensemble"
+# is a python loop of sequential rmtExe calls (one CPU core each). Here a
+# batch of reactors -- any pytree leaves of the parameter dict may be swept:
+# inlet T/P/composition, geometry, heat-exchange, and the kinetic constants
+# via kinetic-overrides -- is one vmapped jitted program, sharded over the
+# `dp` axis of a jax.sharding.Mesh so XLA lays the members across chips
+# (ICI collectives only appear in reductions, e.g. ensemble losses).
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import homo
+from ..solvers import dopri5, fixed, radau
+
+
+def make_mesh(devices=None, axis: str = "dp") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def batch_params(base: Mapping[str, Any], sweep: Mapping[str, Any]):
+    """Broadcast swept leaves into the parameter pytree.
+
+    sweep maps a top-level parameter name (e.g. "T0", "P0", "SpCoi0") or a
+    kinetic-override name (e.g. "K1") to a batched array whose leading axis
+    is the ensemble axis. Returns (params, in_axes) ready for jax.vmap.
+    """
+    params = dict(base)
+    axes = {k: None for k in base}
+    axes["kinetic_overrides"] = {k: None for k in base["kinetic_overrides"]}
+    ko = dict(base["kinetic_overrides"])
+    for name, arr in sweep.items():
+        arr = jnp.asarray(arr)
+        if name in params:
+            params[name] = arr
+            axes[name] = 0
+        else:
+            ko[name] = arr
+            axes["kinetic_overrides"][name] = 0
+    params["kinetic_overrides"] = ko
+    return params, axes
+
+
+def _solver(kind: str):
+    return {"radau": radau.odeint, "dopri5": dopri5.odeint}[kind]
+
+
+def make_n2_ensemble(
+    spec: homo.HomoSpec,
+    rtol: float = 1e-7,
+    atol: float = 1e-10,
+    solver: str = "radau",
+    mesh: Mesh | None = None,
+):
+    """Build a jitted f(params_batch, axes) -> ys of shape (B, tNo+1, varNoT).
+
+    The returned runner integrates every ensemble member's full dynamic
+    trajectory in one XLA program.
+    """
+    rhs = homo.make_n2_rhs(spec)
+    odeint = _solver(solver)
+
+    def single(p):
+        d = homo.feed_state(spec, p)
+        y0 = homo.n2_initial_state(spec, p, d)
+        ts = (p["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(y0.dtype)
+        ys, stats = odeint(lambda t, y: rhs(t, y, p, d), y0, ts, rtol=rtol, atol=atol)
+        return ys, stats.n_fev
+
+    def build(axes):
+        fn = jax.vmap(single, in_axes=(axes,))
+        if mesh is not None:
+            # members ride the dp axis; everything else is replicated
+            fn = jax.jit(fn)
+        else:
+            fn = jax.jit(fn)
+        return fn
+
+    return single, build
+
+
+def shard_batch(mesh: Mesh, params, axes):
+    """Place batched leaves with a dp sharding, replicate the rest.
+
+    (Manual walk because None-valued in_axes leaves are empty subtrees to
+    jax.tree.map.)"""
+
+    def place(leaf, ax):
+        spec = P("dp") if ax == 0 else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    out = {}
+    for k, v in params.items():
+        if k == "kinetic_overrides":
+            out[k] = {
+                kk: place(vv, axes[k][kk]) for kk, vv in v.items()
+            }
+        else:
+            out[k] = place(v, axes[k])
+    return out
+
+
+def run_n2_ensemble(
+    model_input: Mapping[str, Any],
+    sweep: Mapping[str, Any],
+    rtol: float = 1e-7,
+    atol: float = 1e-10,
+    solver: str = "radau",
+    mesh: Mesh | None = None,
+):
+    """One-call ensemble sweep of the N2 dynamic model.
+
+    Returns (ys, nfev): ys has shape (B, tNo+1, varNo*zNo) in dimensionless
+    state; use rmt_tpu.api conversions for real values.
+    """
+    spec = homo.build_spec(model_input)
+    base = homo.build_params(model_input)
+    params, axes = batch_params(base, sweep)
+    single, build = make_n2_ensemble(spec, rtol, atol, solver, mesh)
+    fn = build(axes)
+    if mesh is not None:
+        params = shard_batch(mesh, params, axes)
+    return fn(params)
+
+
+def make_n1_ensemble(
+    spec: homo.HomoSpec,
+    rtol: float = 1e-7,
+    atol: float = 1e-10,
+    solver: str = "radau",
+    z_out: int | None = None,
+):
+    """Build single/vmapped runners for the steady model (profiles over z)."""
+    rhs = homo.make_n1_rhs(spec)
+    odeint = _solver(solver)
+    n_out = (z_out if z_out is not None else spec.z_out) + 1
+
+    def single(p):
+        d = homo.feed_state(spec, p)
+        y0 = homo.n1_initial_state(spec, p, d)
+        ts = jnp.linspace(0.0, 1.0, n_out).astype(y0.dtype)
+        ys, stats = odeint(lambda t, y: rhs(t, y, p, d), y0, ts, rtol=rtol, atol=atol)
+        return ys, stats.n_fev
+
+    def build(axes):
+        return jax.jit(jax.vmap(single, in_axes=(axes,)))
+
+    return single, build

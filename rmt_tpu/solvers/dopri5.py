@@ -113,10 +113,13 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-9, max_steps: int = 100_000, args=None)
             err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
             accept = err_norm <= 1.0
 
+            # clamp before the pow: TPU-emulated f64 yields NaN for inf**-x,
+            # which would poison the step size forever
+            err_c = jnp.clip(err_norm, 1e-10, 1e10)
             factor = jnp.where(
                 err_norm == 0.0,
                 _MAX_FACTOR,
-                jnp.clip(_SAFETY * err_norm**_ORDER_EXP, _MIN_FACTOR, _MAX_FACTOR),
+                jnp.clip(_SAFETY * err_c**_ORDER_EXP, _MIN_FACTOR, _MAX_FACTOR),
             )
             factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
             # don't let clamping a step to the output boundary shrink the

@@ -118,11 +118,28 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
 
     jac = jax.jacfwd(f_, argnums=1)
 
+    # Mixed-precision linear algebra: on TPU, float64 LU/solve does not
+    # compile (f64 is emulated elementwise only), and the Newton matrix is
+    # merely a preconditioner -- so factorize in float32 (native MXU path)
+    # and keep states/residuals in the working dtype, with one iterative
+    # refinement pass per solve to recover accuracy.
+    solve_dtype = jnp.float32 if (dtype == jnp.float64 and jax.default_backend() == "tpu") else dtype
+
+    def _factor(M):
+        return jax.scipy.linalg.lu_factor(M.astype(solve_dtype))
+
+    def _solve(fac, M, b):
+        x = jax.scipy.linalg.lu_solve(fac, b.astype(solve_dtype)).astype(dtype)
+        if solve_dtype != dtype:
+            r = b - M @ x
+            x = x + jax.scipy.linalg.lu_solve(fac, r.astype(solve_dtype)).astype(dtype)
+        return x
+
     def attempt_step(t, y, h, f0, J):
         """One Radau step of size h from (t, y). Returns (y1, err_norm, ok)."""
         # modified-Newton matrix M = I - h (A (x) J), factored once
         M = eye_sn - h * jnp.kron(A, J)
-        lu, piv = jax.scipy.linalg.lu_factor(M)
+        fac = _factor(M)
 
         scale = atol + rtol * jnp.abs(y)
 
@@ -134,7 +151,7 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
             Y = y[None, :] + h * (A @ Kmat)
             F = jax.vmap(lambda ci, yi: f_(t + ci * h, yi))(C, Y)
             R = K - F.reshape(-1)
-            dK = jax.scipy.linalg.lu_solve((lu, piv), -R)
+            dK = _solve(fac, M, -R)
             K_new = K + dK
             dn = _norm(dK.reshape(s, n), scale[None, :] * jnp.sqrt(jnp.asarray(float(s))))
             dn = jnp.where(jnp.isfinite(dn), dn, jnp.inf)
@@ -156,7 +173,8 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
         # embedded error estimate, smoothed through (I - h*bhat0*J)
         err_raw = h * ((B - BHAT[1:]) @ Kmat - BHAT[0] * f0)
         M1 = eye_n - h * BHAT[0] * J
-        err = jnp.linalg.solve(M1, err_raw)
+        fac1 = _factor(M1)
+        err = _solve(fac1, M1, err_raw)
         scale2 = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
         err_norm = _norm(err, scale2)
         err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
@@ -178,10 +196,13 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
             y1, err_norm, nfe = attempt_step(t, y, h_eff, fval, J)
             accept = err_norm <= 1.0
 
+            # clamp before the pow: TPU-emulated f64 yields NaN for inf**-x,
+            # which would poison the step size forever
+            err_c = jnp.clip(err_norm, 1e-10, 1e10)
             factor = jnp.where(
                 err_norm == 0.0,
                 _MAX_FACTOR,
-                jnp.clip(_SAFETY * err_norm**order_exp, _MIN_FACTOR, _MAX_FACTOR),
+                jnp.clip(_SAFETY * err_c**order_exp, _MIN_FACTOR, _MAX_FACTOR),
             )
             factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
             clamped = h_eff < h
