@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.species import SPECIES, UnknownComponentError, species_index
-from ..models import homo
+from ..models import homo, pf
 from ..solvers import dopri5, fixed, radau
 from ..utils import roundNum
 
@@ -26,6 +26,8 @@ ISO = homo.ISO_THERMAL
 # model ids implemented natively so far; remaining reference ids raise a
 # clear NotImplementedError until their build step lands
 _MODEL_IDS = {
+    "M0": "plug-flow reactor",
+    "M4": "plug-flow reactor",
     "N1": "steady-state homogenous packed bed reactor non-isothermal plug-flow",
     "N2": "dynamic homogenous packed bed reactor non-isothermal plug-flow",
 }
@@ -290,6 +292,50 @@ def _run_n2(model_input, spec: homo.HomoSpec, opts):
 
 
 # ---------------------------------------------------------------------------
+# M0/M4: plug-flow reactor
+# ---------------------------------------------------------------------------
+
+def _run_pf(model_input, opts):
+    spec = pf.build_spec(model_input)
+    p = pf.build_params(model_input)
+    key = ("M0", spec.comp_list,
+           tuple(model_input["reactions"].values()),
+           id(model_input["reaction-rates"]["VARS"]),
+           id(model_input["reaction-rates"]["RATES"]),
+           opts["ivp"], opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        rhs = pf.make_rhs(spec)
+
+        def run(pp):
+            y0 = pf.initial_state(spec, pp)
+            ts = jnp.linspace(0.0, 1.0, spec.z_out).astype(y0.dtype) * pp["ReLe"]
+            solver = dopri5.odeint if opts["ivp"] in ("RK45", "dopri5") else radau.odeint
+            ys, stats = solver(
+                lambda t, y: rhs(t, y, pp), y0, ts,
+                rtol=opts["rtol"], atol=opts["atol"],
+            )
+            return ys.T, ts
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+    ys, ts = runner(p)
+    ys = np.asarray(ys)
+    data_x = np.asarray(ts)
+
+    label_list = list(spec.comp_list) + ["Temperature"]
+    xy_list = [[data_x, row] for row in ys]
+    data_list = [
+        {"x": data_x, "y": xy[1], "leg": leg} for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Reactor Length (m)", "")
+    return {"XYList": xy_list, "dataList": data_list}
+
+
+# ---------------------------------------------------------------------------
 
 def rmtExe(modelInput: Mapping[str, Any]):
     """Check model input, then start computation (reference: rmt.py:21-80)."""
@@ -297,7 +343,9 @@ def rmtExe(modelInput: Mapping[str, Any]):
     model_type = modelInput["model"]
     _check_components(modelInput)
 
-    if model_type in ("N1", "N2"):
+    if model_type in ("M0", "M4"):
+        res_model = _run_pf(modelInput, _solver_options(modelInput))
+    elif model_type in ("N1", "N2"):
         spec = homo.build_spec(modelInput)
         opts = _solver_options(modelInput)
         if model_type == "N1":

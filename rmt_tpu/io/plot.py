@@ -54,3 +54,17 @@ def plot_results_dynamic(res_pack, t_no: int) -> None:
     ax.set_ylabel("mole fraction")
     fig.tight_layout()
     plt.show()
+
+
+def plot_xy_series(data_list, x_label, y_label, title=""):
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 4))
+    for item in data_list:
+        ax.plot(np.asarray(item["x"]), np.asarray(item["y"]), label=item["leg"])
+    ax.set_xlabel(x_label)
+    ax.set_ylabel(y_label)
+    if title:
+        ax.set_title(title)
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    plt.show()

@@ -1,1 +1,1 @@
-from . import homo
+from . import homo, pf

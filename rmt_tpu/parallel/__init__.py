@@ -4,5 +4,6 @@ from .ensemble import (
     make_n1_ensemble,
     make_n2_ensemble,
     run_n2_ensemble,
+    run_n2_ensemble_lockstep,
     shard_batch,
 )

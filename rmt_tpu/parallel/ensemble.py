@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import homo
-from ..solvers import dopri5, fixed, radau
+from ..solvers import dopri5, fixed, radau, stiff_ensemble
 
 
 def make_mesh(devices=None, axis: str = "dp") -> Mesh:
@@ -62,8 +62,7 @@ def make_n2_ensemble(
 ):
     """Build a jitted f(params_batch, axes) -> ys of shape (B, tNo+1, varNoT).
 
-    The returned runner integrates every ensemble member's full dynamic
-    trajectory in one XLA program.
+    For the TPU-native lockstep integrator use run_n2_ensemble_lockstep.
     """
     rhs = homo.make_n2_rhs(spec)
     odeint = _solver(solver)
@@ -129,6 +128,62 @@ def run_n2_ensemble(
     if mesh is not None:
         params = shard_batch(mesh, params, axes)
     return fn(params)
+
+
+def run_n2_ensemble_lockstep(
+    model_input: Mapping[str, Any],
+    sweep: Mapping[str, Any],
+    rtol: float = 1e-7,
+    atol: float = 1e-10,
+    mesh: Mesh | None = None,
+    colored_jacobian: bool = True,
+    **solver_kwargs,
+):
+    """N2 dynamic ensemble on the TPU-native lockstep integrator.
+
+    One global adaptive loop for the whole batch: matmul-only Newton-Schulz
+    preconditioners, colored (block-bidiagonal) Jacobians, per-member step
+    control. The operating period may not be swept (the output grid is
+    shared across members).
+
+    Returns (ys, stats): ys (tNo+1, B, varNo*zNo) dimensionless states.
+    """
+    spec = homo.build_spec(model_input)
+    base = homo.build_params(model_input)
+    if "opT" in sweep:
+        raise ValueError("the lockstep integrator requires a shared period")
+    params, axes = batch_params(base, sweep)
+    if mesh is not None:
+        params = shard_batch(mesh, params, axes)
+
+    rhs = homo.make_n2_rhs(spec)
+    jac_c = homo.make_n2_colored_jacobian(spec) if colored_jacobian else None
+
+    def run(params):
+        def derive(q):
+            d = homo.feed_state(spec, q)
+            return d, homo.n2_initial_state(spec, q, d)
+
+        dB, y0B = jax.vmap(derive, in_axes=(axes,))(params)
+        ts = params["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+
+        fB = jax.vmap(rhs, in_axes=(0, 0, axes, 0))
+
+        def f_batched(t, y):
+            return fB(t, y, params, dB)
+
+        if jac_c is not None:
+            jB = jax.vmap(jac_c, in_axes=(0, 0, axes, 0))
+            jac_batched = lambda t, y: jB(t, y, params, dB)
+        else:
+            jac_batched = None
+
+        return stiff_ensemble.odeint_ensemble(
+            f_batched, y0B, ts, rtol=rtol, atol=atol,
+            jac=jac_batched, batched=True, **solver_kwargs,
+        )
+
+    return jax.jit(run)(params)
 
 
 def make_n1_ensemble(

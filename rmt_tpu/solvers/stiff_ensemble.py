@@ -1,0 +1,403 @@
+# Batched lockstep stiff integrator for TPU ensembles:
+# Radau IIA(5) with eigen-transformed stages and Newton-Schulz
+# matmul-preconditioners -- no LU anywhere in the hot loop.
+#
+# Motivation (measured on TPU v5e via axon): a batched 420x420 LU costs
+# ~170 ms per call because triangular factorizations lower to
+# sequential scalar loops, while batched (B,140,140) f32 matmuls run at
+# MXU speed. This solver therefore:
+#   * diagonalizes the 3-stage Radau coefficient matrix A = T diag(g, m, m*)
+#     T^-1 once at build time, decoupling the stacked Newton system
+#     (I - h A(x)J) dK = -R into one real and one complex n x n system per
+#     member (the conjugate system is free);
+#   * maintains approximate inverses P_r ~ (I - h g J)^-1 and
+#     P_c ~ (I - h m J)^-1 by Newton-Schulz iteration (P <- 2P - P M P),
+#     which is pure batched matmul and converges quadratically because h
+#     changes by a bounded factor per step (max growth < 2);
+#   * runs one *global* adaptive loop over the whole ensemble with
+#     per-member step sizes and masked accept/reject, so expensive global
+#     decisions (Jacobian refresh) happen under a scalar lax.cond and are
+#     skipped when not needed;
+#   * keeps states and Newton residuals in the working dtype (float64 for
+#     <=1e-6 reproducibility) while all preconditioner algebra is float32
+#     MXU work, with one f64 refinement pass per solve using the exact
+#     Kronecker matvec M v = v - h (A @ V) J^T (never materializing the
+#     s*n x s*n matrix);
+#   * uses complex arithmetic spelled out as (real, imag) f32 pairs since
+#     complex128 does not exist on TPU and complex64 promotion under x64 is
+#     fragile.
+#
+# Replaces scipy LSODA/BDF/Radau for the reference's ensemble workloads
+# (reference runs one reactor per scipy call, PyREMOT/docs/pbHomoReactor.py
+# :3609; here 4096 reactors integrate in one XLA program).
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .radau import radau_tableau
+
+_SAFETY = 0.9
+_MIN_FACTOR = 0.2
+_MAX_FACTOR = 1.4          # small growth keeps Newton-Schulz warm starts sharp
+_ORDER_EXP = -0.25         # embedded estimate is order 3 -> exponent 1/4
+_NEWTON_TOL = 0.03
+
+
+def _transformed_tableau():
+    """Radau5 tableau + eigen-decomposition A = T diag(gamma, mu, mu*) T^-1
+    with T arranged so that row/col 0 is the real eigenpair and col 2 is the
+    conjugate of col 1 (all derived numerically)."""
+    c, A, b, bhat = radau_tableau(3)
+    w, V = np.linalg.eig(A)
+    i_real = int(np.argmin(np.abs(w.imag)))
+    i_cplx = [i for i in range(3) if i != i_real]
+    # order the complex pair so the first has positive imaginary part
+    if w[i_cplx[0]].imag < 0:
+        i_cplx = [i_cplx[1], i_cplx[0]]
+    order = [i_real, i_cplx[0], i_cplx[1]]
+    w = w[order]
+    V = V[:, order]
+    # make the real eigenvector exactly real and the third column the
+    # conjugate of the second
+    V[:, 0] = V[:, 0].real / np.linalg.norm(V[:, 0].real)
+    V[:, 2] = V[:, 1].conj()
+    Vinv = np.linalg.inv(V)
+    assert np.allclose(V @ np.diag(w) @ Vinv, A, atol=1e-12)
+    return c, A, b, bhat, w, V, Vinv
+
+
+class EnsembleStats(NamedTuple):
+    n_fev: jnp.ndarray        # (B,) RHS evals (counting vectorized stage evals)
+    n_jev: jnp.ndarray        # scalar: global Jacobian refreshes
+    n_accepted: jnp.ndarray   # (B,)
+    n_rejected: jnp.ndarray   # (B,)
+
+
+def _cmatmul(ar, ai, br, bi):
+    """(ar+i*ai) @ (br+i*bi) as real pairs."""
+    return ar @ br - ai @ bi, ar @ bi + ai @ br
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11))
+def odeint_ensemble(
+    f,
+    y0,                     # (B, n)
+    ts,                     # (n_out,) shared output grid
+    rtol=1e-7,
+    atol=1e-10,
+    max_steps: int = 20_000,
+    newton_iters: int = 8,
+    j_every: int = 16,
+    ns_refresh: int = 30,
+    ns_step: int = 3,
+    jac=None,
+    batched: bool = False,
+    args=None,
+):
+    """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
+
+    f is a single-member RHS (t scalar, y (n,)) vmapped internally, unless
+    batched=True, in which case f (and jac, if given) already operate on
+    the whole batch: f(t (B,), y (B,n)) -> (B,n), jac -> (B,n,n). The
+    batched form is how per-member parameters enter (close them over in f).
+    Returns (ys, stats) with ys of shape (n_out, B, n); ys[0] == y0.
+    """
+    if args is not None:
+        f_ = lambda t, y: f(t, y, *args)
+    else:
+        f_ = f
+
+    y0 = jnp.asarray(y0)
+    Bsz, n = y0.shape
+    dtype = y0.dtype
+    f32 = jnp.float32
+    ts = jnp.asarray(ts, dtype)
+    rtol = jnp.asarray(rtol, dtype)
+    atol = jnp.asarray(atol, dtype)
+
+    c_np, A_np, b_np, bhat_np, w_np, T_np, Tinv_np = _transformed_tableau()
+    C = jnp.asarray(c_np, dtype)
+    A = jnp.asarray(A_np, dtype)
+    Bv = jnp.asarray(b_np, dtype)
+    BHAT = jnp.asarray(bhat_np, dtype)
+    gamma = float(w_np[0].real)
+    mu_r, mu_i = float(w_np[1].real), float(w_np[1].imag)
+    Tr = jnp.asarray(T_np.real, dtype)
+    Ti = jnp.asarray(T_np.imag, dtype)
+    Tir = jnp.asarray(Tinv_np.real, dtype)
+    Tii = jnp.asarray(Tinv_np.imag, dtype)
+
+    if batched:
+        fB = f_                            # (B,), (B,n) -> (B,n)
+        if jac is None:
+            # jacfwd of the batched function, one member's tangent at a time
+            def jacB(t, y):
+                def fy(yy):
+                    return fB(t, yy)
+
+                eye = jnp.eye(n, dtype=y.dtype)
+                jvp_cols = jax.vmap(
+                    lambda col: jax.jvp(fy, (y,), (jnp.tile(col[None], (Bsz, 1)),))[1]
+                )(eye)                     # (n, B, n) -> (B, n_out, n_in)
+                return jnp.moveaxis(jvp_cols, 0, -1)
+        else:
+            jacB = jac
+    else:
+        fB = jax.vmap(f_)                  # (B,), (B,n) -> (B,n)
+        jac_single = jax.jacfwd(f_, argnums=1) if jac is None else jac
+        jacB = jax.vmap(jac_single)        # -> (B,n,n)
+
+    def stage_eval(t, h, Y):
+        """Y: (B,3,n) -> F: (B,3,n), mapping the batched RHS over stages."""
+        ts_st = t[:, None] + C[None, :] * h[:, None]    # (B,3)
+        return jax.vmap(fB, in_axes=(1, 1), out_axes=1)(ts_st, Y)
+
+    def ns_update(Pr, Pcr, Pci, h, J, k: int):
+        """k Newton-Schulz iterations toward (I-h*g*J)^-1 and (I-h*mu*J)^-1.
+
+        J: (B,n,n) f32; h: (B,) working dtype -> cast to f32.
+        """
+        h32 = h.astype(f32)[:, None, None]
+
+        def it(carry, _):
+            Pr, Pcr, Pci = carry
+            # real: M P = P - h*gamma*(J @ P)
+            JP = J @ Pr
+            MP = Pr - (gamma * h32) * JP
+            Pr_new = 2 * Pr - Pr @ MP
+            # complex: M = I - h*mu*J (J real)
+            JPr = J @ Pcr
+            JPi = J @ Pci
+            MPr = Pcr - h32 * (mu_r * JPr - mu_i * JPi)
+            MPi = Pci - h32 * (mu_r * JPi + mu_i * JPr)
+            PMr, PMi = _cmatmul(Pcr, Pci, MPr, MPi)
+            Pcr_new = 2 * Pcr - PMr
+            Pci_new = 2 * Pci - PMi
+            return (Pr_new, Pcr_new, Pci_new), None
+
+        (Pr, Pcr, Pci), _ = lax.scan(it, (Pr, Pcr, Pci), None, length=k)
+        return Pr, Pcr, Pci
+
+    def ns_cold_start(h, J):
+        """Guaranteed-convergent Newton-Schulz seeds P0 = M^H/(|M|_1 |M|_inf).
+
+        Used after a Jacobian refresh: the warm start P_old is only valid
+        while M drifts a little, and a diverged Newton-Schulz iterate never
+        recovers (the residual squares), so refreshes re-seed from scratch.
+        """
+        h32 = h.astype(f32)[:, None, None]
+        eye = jnp.eye(n, dtype=f32)[None]
+        Mr = eye - (gamma * h32) * J
+        Mcr = eye - h32 * mu_r * J
+        Mci = -h32 * mu_i * J
+
+        def seed(Ar, Ai):
+            norm1 = jnp.max(jnp.sum(jnp.sqrt(Ar**2 + Ai**2), axis=-2), axis=-1)
+            norminf = jnp.max(jnp.sum(jnp.sqrt(Ar**2 + Ai**2), axis=-1), axis=-1)
+            scale = (norm1 * norminf)[:, None, None]
+            # conjugate transpose over the last two axes
+            return jnp.swapaxes(Ar, -1, -2) / scale, -jnp.swapaxes(Ai, -1, -2) / scale
+
+        Pr0, _ = seed(Mr, jnp.zeros_like(Mr))
+        Pcr0, Pci0 = seed(Mcr, Mci)
+        return Pr0, Pcr0, Pci0
+
+    def m_matvec(K, h, J64):
+        """Exact M @ K via the Kronecker structure, in the working dtype.
+
+        K: (B,3,n); J64: (B,n,n) in working dtype; returns (B,3,n).
+        """
+        G = jnp.einsum("ij,bjn->bin", A, K)
+        return K - h[:, None, None] * jnp.einsum("bin,bmn->bim", G, J64)
+
+    def apply_P(R, Pr, Pcr, Pci):
+        """Approximate solve M dK = R via the stage eigen-transform.
+
+        R: (B,3,n) real. Returns dK (B,3,n) real.
+        """
+        # W = T^-1 @ R (complex, but row 0 is real and row 2 = conj(row 1))
+        Wr = jnp.einsum("ij,bjn->bin", Tir, R)
+        Wi = jnp.einsum("ij,bjn->bin", Tii, R)
+        R32r = Wr.astype(f32)
+        R32i = Wi.astype(f32)
+        # stage 0: real solve
+        Z0 = jnp.einsum("bnm,bm->bn", Pr, R32r[:, 0])
+        # stage 1: complex solve
+        Z1r = jnp.einsum("bnm,bm->bn", Pcr, R32r[:, 1]) - jnp.einsum(
+            "bnm,bm->bn", Pci, R32i[:, 1]
+        )
+        Z1i = jnp.einsum("bnm,bm->bn", Pcr, R32i[:, 1]) + jnp.einsum(
+            "bnm,bm->bn", Pci, R32r[:, 1]
+        )
+        # stage 2 = conj(stage 1)
+        Zr = jnp.stack([Z0, Z1r, Z1r], axis=1).astype(dtype)
+        Zi = jnp.stack([jnp.zeros_like(Z0), Z1i, -Z1i], axis=1).astype(dtype)
+        # dK = Re(T @ Z)
+        dK = jnp.einsum("ij,bjn->bin", Tr, Zr) - jnp.einsum("ij,bjn->bin", Ti, Zi)
+        return dK
+
+    def solve(Rhs, h, J64, Pr, Pcr, Pci):
+        """Preconditioned solve with one f64 refinement pass."""
+        x = apply_P(Rhs, Pr, Pcr, Pci)
+        r = Rhs - m_matvec(x, h, J64)
+        return x + apply_P(r, Pr, Pcr, Pci)
+
+    def norm_b(v, scale):
+        return jnp.sqrt(jnp.mean((v / scale) ** 2, axis=-1))
+
+    def segment(carry, t_end):
+        def cond(state):
+            (t, *_), steps, _ = state
+            return jnp.any(t < t_end) & (steps < max_steps)
+
+        def body(state):
+            (t, y, fval, h, J, Pr, Pcr, Pci, since_j, newton_bad, st), steps, _ = state
+            active = t < t_end
+            h_eff = jnp.where(active, jnp.minimum(h, t_end - t), h)
+
+            # global Jacobian refresh (scalar predicate -> skipped when idle)
+            refresh = (since_j >= j_every) | newton_bad
+
+            def do_refresh(_):
+                return jacB(t, y).astype(f32), jnp.asarray(0, jnp.int32)
+
+            def no_refresh(_):
+                return J, since_j + 1
+
+            J, since_j = lax.cond(refresh, do_refresh, no_refresh, None)
+            n_jev_inc = refresh.astype(jnp.int32)
+            J64 = J.astype(dtype)
+
+            # preconditioner maintenance: cold restart after a Jacobian
+            # refresh (warm starts can leave the Newton-Schulz basin),
+            # cheap warm iterations otherwise
+            Pr, Pcr, Pci = lax.cond(
+                refresh,
+                lambda P: ns_update(*ns_cold_start(h_eff, J), h_eff, J, ns_refresh),
+                lambda P: ns_update(P[0], P[1], P[2], h_eff, J, ns_step),
+                (Pr, Pcr, Pci),
+            )
+
+            scale = atol + rtol * jnp.abs(y)
+
+            # --- simplified Newton on the stacked stages ---
+            f0 = fval
+            K = jnp.tile(f0[:, None, :], (1, 3, 1))
+
+            def newton(carry_n, _):
+                K, done, dn = carry_n
+                Y = y[:, None, :] + h_eff[:, None, None] * jnp.einsum(
+                    "ij,bjn->bin", A, K
+                )
+                F = stage_eval(t, h_eff, Y)
+                R = F - K
+                dK = solve(R, h_eff, J64, Pr, Pcr, Pci)
+                K_new = K + jnp.where(done[:, None, None], 0.0, dK)
+                dn_new = norm_b(
+                    dK.reshape(Bsz, -1), jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0)
+                )
+                dn_new = jnp.where(jnp.isfinite(dn_new), dn_new, jnp.inf)
+                done_new = done | (dn_new < _NEWTON_TOL)
+                dn_keep = jnp.where(done, dn, dn_new)
+                return (K_new, done_new, dn_keep), None
+
+            (K, conv, _), _ = lax.scan(
+                newton,
+                (K, jnp.zeros(Bsz, bool), jnp.full((Bsz,), jnp.inf, dtype)),
+                None,
+                length=newton_iters,
+            )
+
+            y1 = y + h_eff[:, None] * jnp.einsum("j,bjn->bn", Bv, K)
+
+            # embedded error estimate smoothed by the real preconditioner
+            err_raw = h_eff[:, None] * (
+                jnp.einsum("j,bjn->bn", Bv - BHAT[1:], K) - BHAT[0] * f0
+            )
+            e32 = err_raw.astype(f32)
+            err_s = jnp.einsum("bnm,bm->bn", Pr, e32).astype(dtype)
+            # one refinement of the smoothing solve
+            r_e = err_raw - (err_s - (gamma * h_eff)[:, None] * jnp.einsum(
+                "bnm,bm->bn", J64, err_s
+            ))
+            err_s = err_s + jnp.einsum("bnm,bm->bn", Pr, r_e.astype(f32)).astype(dtype)
+
+            scale2 = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            err_norm = norm_b(err_s, scale2)
+            err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
+            err_norm = jnp.where(conv, err_norm, jnp.inf)
+
+            accept = (err_norm <= 1.0) & active
+            err_c = jnp.clip(err_norm, 1e-10, 1e10)
+            factor = jnp.clip(_SAFETY * err_c**_ORDER_EXP, _MIN_FACTOR, _MAX_FACTOR)
+            factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
+            # Newton failure: halve rather than floor -- a 0.5 step-ratio
+            # keeps the warm preconditioner well inside its basin
+            factor = jnp.where(conv, factor, 0.5)
+            clamped = h_eff < h
+            h_new = jnp.where(
+                accept & clamped, jnp.maximum(h, h_eff * factor), h_eff * factor
+            )
+            h_new = jnp.where(active, h_new, h)
+
+            t_new = jnp.where(accept, t + h_eff, t)
+            y_new = jnp.where(accept[:, None], y1, y)
+            f_cand = fB(t_new, y_new)
+            f_new = jnp.where(accept[:, None], f_cand, fval)
+
+            newton_bad_new = jnp.any(~conv & active)
+            st_new = EnsembleStats(
+                st.n_fev + jnp.where(active, 3 * newton_iters + 1, 0),
+                st.n_jev + n_jev_inc,
+                st.n_accepted + accept.astype(jnp.int32),
+                st.n_rejected + ((~accept) & active).astype(jnp.int32),
+            )
+            return (
+                (t_new, y_new, f_new, h_new, J, Pr, Pcr, Pci, since_j, newton_bad_new, st_new),
+                steps + 1,
+                t_end,
+            )
+
+        inner, steps, _ = lax.while_loop(
+            cond, body, (carry, jnp.asarray(0, jnp.int32), t_end)
+        )
+        return inner, inner[1]
+
+    # --- initialization ---
+    f0 = fB(jnp.full((Bsz,), ts[0], dtype), y0)
+    J0 = jacB(jnp.full((Bsz,), ts[0], dtype), y0).astype(f32)
+    # conservative first step: ||h*gamma*J|| << 1 so P0 = I is a valid
+    # Newton-Schulz seed
+    j_norm = jnp.max(jnp.sum(jnp.abs(J0), axis=-1), axis=-1).astype(dtype)  # (B,)
+    span = ts[-1] - ts[0]
+    h0 = jnp.minimum(0.05 / (abs(gamma) * j_norm + 1e-30), 1e-3 * span)
+    eyeB = jnp.tile(jnp.eye(n, dtype=f32)[None], (Bsz, 1, 1))
+    Pr0 = eyeB
+    Pcr0 = eyeB
+    Pci0 = jnp.zeros_like(eyeB)
+
+    zero_b = jnp.zeros(Bsz, jnp.int32)
+    stats0 = EnsembleStats(zero_b + 1, jnp.asarray(1, jnp.int32), zero_b, zero_b)
+    carry0 = (
+        jnp.full((Bsz,), ts[0], dtype),
+        y0,
+        f0,
+        h0,
+        J0,
+        Pr0,
+        Pcr0,
+        Pci0,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        stats0,
+    )
+    carry, ys = lax.scan(segment, carry0, ts[1:])
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    return ys, carry[10]

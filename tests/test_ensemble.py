@@ -1,0 +1,129 @@
+# Ensemble execution: vmapped sweeps, dp-mesh sharding, the lockstep
+# TPU-native stiff integrator, colored Jacobians, and parameter estimation.
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dme_case import make_model_input
+from rmt_tpu.models import homo
+from rmt_tpu.parallel import (
+    batch_params,
+    make_mesh,
+    run_n2_ensemble,
+    run_n2_ensemble_lockstep,
+)
+from rmt_tpu.solvers import radau, stiff_ensemble
+
+
+def _single_reference(mi, tsn):
+    spec = homo.build_spec(mi)
+    p = homo.build_params(mi)
+    d = homo.feed_state(spec, p)
+    rhs = homo.make_n2_rhs(spec)
+    y0 = homo.n2_initial_state(spec, p, d)
+    ys, _ = radau.odeint(
+        jax.jit(lambda t, y: rhs(t, y, p, d)), y0, tsn, rtol=1e-9, atol=1e-12
+    )
+    return ys
+
+
+def test_lockstep_matches_per_member_radau():
+    mi = make_model_input(model="N2")
+    B = 3
+    sweep = {"T0": jnp.asarray([523.0, 526.0, 530.0])}
+    ys, stats = run_n2_ensemble_lockstep(mi, sweep)
+    assert ys.shape == (6, B, 140)
+    tsn = jnp.asarray(np.linspace(0, 0.5, 6))
+    ys_ref = _single_reference(mi, tsn)
+    rel = jnp.max(jnp.abs(ys[:, 0, :] - ys_ref) / jnp.maximum(jnp.abs(ys_ref), 1e-8))
+    assert float(rel) < 1e-6, float(rel)
+    assert int(jnp.min(stats.n_accepted)) > 0
+
+
+def test_lockstep_members_differ():
+    mi = make_model_input(model="N2")
+    sweep = {"T0": jnp.asarray([523.0, 543.0])}
+    ys, _ = run_n2_ensemble_lockstep(mi, sweep)
+    # hotter feed -> different final state
+    assert float(jnp.max(jnp.abs(ys[-1, 0] - ys[-1, 1]))) > 1e-3
+
+
+def test_vmapped_ensemble_with_mesh_sharding():
+    mi = make_model_input(model="N2")
+    mesh = make_mesh()
+    B = 2 * len(jax.devices())
+    sweep = {"T0": jnp.asarray(523.0 + np.linspace(0, 4, B))}
+    ys, nfev = run_n2_ensemble(mi, sweep, mesh=mesh)
+    assert ys.shape[0] == B
+    assert "dp" in str(ys.sharding)
+    assert int(nfev[0]) > 0
+
+
+def test_robertson_ensemble_accuracy():
+    def rob(t, y):
+        y1, y2, y3 = y
+        d1 = -0.04 * y1 + 1e4 * y2 * y3
+        d3 = 3e7 * y2**2
+        return jnp.stack([d1, -d1 - d3, d3])
+
+    ts = jnp.asarray([0.0, 1e-2, 1e0, 1e2, 1e4])
+    y0 = jnp.asarray([1.0, 0.0, 0.0])
+    ys_ref, _ = radau.odeint(rob, y0, ts, rtol=1e-8, atol=1e-12)
+    ysE, _ = stiff_ensemble.odeint_ensemble(
+        rob, jnp.tile(y0[None], (2, 1)), ts, rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(ysE[:, 0, :]), np.asarray(ys_ref), rtol=1e-6, atol=1e-12
+    )
+
+
+def test_colored_jacobian_matches_dense():
+    mi = make_model_input(model="N2")
+    spec = homo.build_spec(mi)
+    p = homo.build_params(mi)
+    d = homo.feed_state(spec, p)
+    y0 = homo.n2_initial_state(spec, p, d)
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(np.asarray(y0) * rng.uniform(0.7, 1.3, y0.shape))
+    rhs_f = homo.make_n2_rhs(spec, frozen_pressure_jac=True)
+    J_dense = jax.jacfwd(lambda yy: rhs_f(0.1, yy, p, d))(y)
+    J_col = homo.make_n2_colored_jacobian(spec)(0.1, y, p, d)
+    np.testing.assert_allclose(np.asarray(J_col), np.asarray(J_dense), atol=1e-12)
+
+
+def test_estimation_gradient_descends():
+    from rmt_tpu.parallel.estimation import make_estimation_step, outlet_mole_fractions, simulate_n2_fixed
+    import math
+
+    mi = make_model_input(model="N2", op_period=2e-5)
+    spec = homo.build_spec(mi, z_no=8, t_no=1)
+    base = homo.build_params(mi)
+    B = 4
+    sweep = {"T0": jnp.asarray(523.0 + np.linspace(0, 3, B))}
+    params, axes = batch_params(base, sweep)
+
+    RT = 8.314472 * 523.0
+    k_true = {
+        "K1": 35.45 * math.exp(-1.7069e4 / RT),
+        "K2": 7.3976 * math.exp(-2.0436e4 / RT),
+        "K3": 8.2894e4 * math.exp(-5.294e4 / RT),
+    }
+    # generate target data at the true constants
+    target = jax.vmap(
+        lambda q: outlet_mole_fractions(
+            spec, simulate_n2_fixed(spec, q, {k: jnp.asarray(v) for k, v in k_true.items()}, 8)
+        ),
+        in_axes=(axes,),
+    )(params)
+
+    step = make_estimation_step(spec, axes, target, n_steps=8, lr=1e-2)
+    # perturbed starting point
+    theta = {k: jnp.asarray(math.log(v) + 0.3) for k, v in k_true.items()}
+    losses = []
+    for _ in range(3):
+        theta, loss = step(theta, params)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
