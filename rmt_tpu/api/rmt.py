@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.species import SPECIES, UnknownComponentError, species_index
-from ..models import homo, pf
+from ..models import homo, pb, pf
 from ..solvers import dopri5, fixed, radau
 from ..utils import roundNum
 
@@ -26,7 +26,9 @@ ISO = homo.ISO_THERMAL
 # model ids implemented natively so far; remaining reference ids raise a
 # clear NotImplementedError until their build step lands
 _MODEL_IDS = {
+    "M2": "dynamic packed-bed reactor, concentration variables",
     "M0": "plug-flow reactor",
+    "M1": "packed bed reactor, steady-state, molar-flow variables",
     "M4": "plug-flow reactor",
     "N1": "steady-state homogenous packed bed reactor non-isothermal plug-flow",
     "N2": "dynamic homogenous packed bed reactor non-isothermal plug-flow",
@@ -336,6 +338,144 @@ def _run_pf(model_input, opts):
 
 
 # ---------------------------------------------------------------------------
+# M1: steady packed-bed in molar-flow variables
+# ---------------------------------------------------------------------------
+
+def _run_m1(model_input, opts):
+    spec = pb.build_spec(model_input)
+    p = pb.build_params(model_input)
+    key = ("M1", spec.comp_list,
+           tuple(model_input["reactions"].values()),
+           id(model_input["reaction-rates"]["VARS"]),
+           id(model_input["reaction-rates"]["RATES"]),
+           opts["ivp"], opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        rhs = pb.make_m1_rhs(spec)
+
+        def run(pp):
+            y0 = pb.m1_initial_state(spec, pp)
+            ts = jnp.linspace(0.0, 1.0, spec.z_out).astype(y0.dtype) * pp["ReLe"]
+            solver = dopri5.odeint if opts["ivp"] in ("RK45", "dopri5") else radau.odeint
+            ys, stats = solver(
+                lambda t, y: rhs(t, y, pp), y0, ts,
+                rtol=opts["rtol"], atol=opts["atol"],
+            )
+            return ys.T, ts
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+    ys, ts = runner(p)
+    ys = np.asarray(ys)
+    data_x = np.asarray(ts)
+    n_comp = spec.n_comp
+
+    # molar flowrates -> mole fractions (reference pbReactor.py:286-303)
+    mo_fri = ys[:n_comp] / np.sum(ys[:n_comp], axis=0)
+    data_ys_all = np.concatenate(
+        [mo_fri, ys[n_comp:n_comp + 1], ys[n_comp + 1:n_comp + 2], ys[n_comp + 2:n_comp + 3]],
+        axis=0,
+    )
+    ss_data_ys = np.concatenate([mo_fri, ys[n_comp + 1:n_comp + 2]], axis=0)
+
+    label_list = list(spec.comp_list) + ["Flux", "Temperature", "Pressure"]
+    xy_list = [[data_x, row] for row in data_ys_all]
+    data_list = [
+        {"x": data_x, "y": xy[1], "leg": leg} for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Reactor Length (m)", "")
+    return {"dataYs": ss_data_ys, "XYList": xy_list, "dataList": data_list}
+
+
+# ---------------------------------------------------------------------------
+# M2: dynamic packed-bed in dimensional concentration variables
+# ---------------------------------------------------------------------------
+
+def _run_m2(model_input, opts):
+    sc = model_input.get("solver-config", {})
+    spec = pb.build_spec(
+        model_input,
+        z_no=int(sc.get("zNo", 100)),
+        t_no=int(sc.get("tNo", 10)),
+        times_no=int(sc.get("timesNo", 5)),
+    )
+    p = pb.build_params(model_input)
+    key = ("M2", spec.comp_list, spec.z_no, spec.t_no,
+           tuple(model_input["reactions"].values()),
+           id(model_input["reaction-rates"]["VARS"]),
+           id(model_input["reaction-rates"]["RATES"]),
+           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        from ..ops.jacobian import colored_jacobian
+        from ..solvers import stiff_ensemble
+
+        rhs = pb.make_m2_rhs(spec)
+        rhs_frozen = pb.make_m2_rhs(spec, frozen_pressure_jac=True)
+        jac_c = colored_jacobian(rhs_frozen, spec.n_comp + 1, spec.z_no)
+
+        def run(pp):
+            y0 = pb.m2_initial_state(spec, pp)[None]  # B=1
+            ts = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(y0.dtype)
+            fB = jax.vmap(lambda t, y: rhs(t, y, pp))
+            jB = jax.vmap(lambda t, y: jac_c(t, y, pp))
+            ys, stats = stiff_ensemble.odeint_ensemble(
+                fB, y0, ts, rtol=opts["rtol"], atol=opts["atol"],
+                jac=jB, batched=True,
+            )
+            return ys[:, 0, :], ts
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+    ys, ts = runner(p)
+    ys = np.asarray(ys)
+    t_bounds = np.asarray(ts)
+
+    n_comp = spec.n_comp
+    z_no = spec.z_no
+    data_xs = np.linspace(0, float(p["ReLe"]), z_no)
+    label_list = list(spec.comp_list) + ["Temperature"]
+
+    data_pack = []
+    data_packtime = np.zeros((n_comp + 1, spec.t_no, z_no))
+    for i in range(spec.t_no):
+        Y = ys[i + 1].reshape(n_comp + 1, z_no)
+        conc = Y[:n_comp]
+        mo_fri = conc / np.sum(conc, axis=0)
+        temp = Y[n_comp:n_comp + 1]
+        data_ys_all = np.concatenate([mo_fri, temp], axis=0)
+        data_pack.append({
+            "successStatus": True,
+            "dataTime": t_bounds[i + 1],
+            "dataYCons": conc,
+            "dataYTemp": temp,
+            "dataYs": data_ys_all,
+        })
+        data_packtime[:, i, :] = data_ys_all
+
+    # QUIRK: the reference returns only the XY series of the *last* state
+    # variable over time (pbReactor.py:806-841); dataPack is an extension
+    xy_list = [[data_xs, row] for row in data_packtime[-1]]
+    labels_t = [f"{label_list[-1]} at t={t_bounds[t + 1]}" for t in range(spec.t_no)]
+    data_list = [
+        {"x": data_xs, "y": xy[1], "leg": leg} for xy, leg in zip(xy_list, labels_t)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Reactor Length (m)", "")
+    return {
+        "XYList": xy_list,
+        "dataList": data_list,
+        "dataPack": data_pack,
+        "dataPacktime": data_packtime,
+    }
+
+
+# ---------------------------------------------------------------------------
 
 def rmtExe(modelInput: Mapping[str, Any]):
     """Check model input, then start computation (reference: rmt.py:21-80)."""
@@ -345,6 +485,10 @@ def rmtExe(modelInput: Mapping[str, Any]):
 
     if model_type in ("M0", "M4"):
         res_model = _run_pf(modelInput, _solver_options(modelInput))
+    elif model_type == "M1":
+        res_model = _run_m1(modelInput, _solver_options(modelInput))
+    elif model_type == "M2":
+        res_model = _run_m2(modelInput, _solver_options(modelInput))
     elif model_type in ("N1", "N2"):
         spec = homo.build_spec(modelInput)
         opts = _solver_options(modelInput)

@@ -1,1 +1,1 @@
-from . import homo, pf
+from . import homo, pb, pf

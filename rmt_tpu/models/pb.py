@@ -1,0 +1,253 @@
+# Packed-bed reactor models in molar-flow variables (reference ids M1, M2).
+#
+# M1: steady plug-flow with state (Fi [mol/s], total molar flux
+# [mol/m^2.s], T [K], P [Pa]) integrated over z in meters, Ergun pressure
+# drop. (reference: PyREMOT/docs/pbReactor.py:141-547)
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EPS_CONST, PI_CONST, R_CONST, Tref
+from ..data import species as DB
+from ..kinetics.dsl import RateProgram
+from ..kinetics.stoich import Stoichiometry
+from ..props import thermo
+
+
+@dataclass(frozen=True)
+class PBSpec:
+    comp_list: tuple[str, ...]
+    stoich: Stoichiometry = field(hash=False, compare=False)
+    rates: RateProgram = field(hash=False, compare=False)
+    z_out: int = 25          # solverSetting['S3']['timesNo']
+    z_no: int = 100          # M2 axial nodes (solverSetting['S2']['zNo'])
+    t_no: int = 10           # M2 outer time intervals
+    times_no: int = 5
+
+    @property
+    def n_comp(self) -> int:
+        return len(self.comp_list)
+
+    @property
+    def comp_idx(self) -> np.ndarray:
+        return DB.species_indices(self.comp_list)
+
+
+def build_spec(model_input: Mapping[str, Any], **overrides) -> PBSpec:
+    comp_list = tuple(model_input["feed"]["components"]["shell"])
+    return PBSpec(
+        comp_list=comp_list,
+        stoich=Stoichiometry(model_input["reactions"], comp_list),
+        rates=RateProgram(
+            model_input["reaction-rates"]["VARS"],
+            model_input["reaction-rates"]["RATES"],
+        ),
+        **overrides,
+    )
+
+
+def build_params(model_input: Mapping[str, Any]) -> dict[str, Any]:
+    oc = model_input["operating-conditions"]
+    feed = model_input["feed"]
+    re_spec = model_input["reactor"]
+    ex_he = model_input.get("external-heat", {"OvHeTrCo": 0.0, "EfHeTrAr": 0.0, "MeTe": 0.0})
+    f = lambda x: jnp.asarray(x, dtype=jnp.result_type(float))
+    out = {
+        "P0": f(oc["pressure"]),
+        "T0": f(oc["temperature"]),
+        "opT": f(oc.get("period", 1.0)),
+        "GaMiVi": f(feed["mixture-viscosity"]),
+        "U": f(ex_he["OvHeTrCo"]),
+        "EfHeTrAr": f(ex_he["EfHeTrAr"]),
+        "Tm": f(ex_he["MeTe"]),
+        "ReInDi": f(re_spec["ReInDi"]),
+        "ReLe": f(re_spec["ReLe"]),
+        "PaDi": f(re_spec["PaDi"]),
+        "BeVoFr": f(re_spec["BeVoFr"]),
+        "CaBeDe": f(re_spec["CaBeDe"]),
+        "CaDe": f(re_spec.get("CaDe", 0.0)),
+        "CaSpHeCa": f(re_spec.get("CaSpHeCa", 0.0)),
+        "kinetic_overrides": {
+            k: f(v) for k, v in model_input.get("kinetic-overrides", {}).items()
+        },
+    }
+    # M1 feed: mole-fraction + molar flowrate; M2 feed: volumetric flowrate
+    # + concentration [kmol/m^3] (reference pbReactor.py:191-193, 609-611)
+    if "mole-fraction" in feed:
+        out["MoFri0"] = f(np.asarray(feed["mole-fraction"], dtype=np.float64))
+        out["MoFlRa0"] = f(feed["molar-flowrate"])
+    if "concentration" in feed:
+        out["SpCoi0"] = f(np.asarray(feed["concentration"], dtype=np.float64))
+        out["VoFlRa0"] = f(feed["volumetric-flowrate"])
+    return out
+
+
+def m1_initial_state(spec: PBSpec, p):
+    cr_se_ar = PI_CONST * p["ReInDi"] ** 2 / 4
+    fi0 = p["MoFlRa0"] * p["MoFri0"]
+    flux0 = p["MoFlRa0"] / cr_se_ar
+    return jnp.concatenate([fi0, flux0[None], p["T0"][None], p["P0"][None]])
+
+
+def make_m1_rhs(spec: PBSpec):
+    """Steady flow-variable RHS (reference modelEquationM1,
+    pbReactor.py:354-547)."""
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    mw = jnp.asarray(DB.MW[idx])
+    eq_idx = spec.stoich.eq_idx
+    eq_nu = jnp.asarray(spec.stoich.eq_nu)
+    dh25 = jnp.asarray(spec.stoich.dh_rxn_25)
+
+    def rhs(z, y, p):
+        cr_se_ar = PI_CONST * p["ReInDi"] ** 2 / 4
+        fi = y[:n_comp]
+        flux = y[n_comp]
+        T = y[n_comp + 1]
+        P = y[n_comp + 2]
+
+        vo_fl = thermo.volumetric_flowrate_ig(P, T, fi)
+        conc = fi / vo_fl
+        conc_tot = jnp.sum(conc)
+        mo_fri = conc / conc_tot
+
+        # velocity from the EOS using the molar flux state
+        in_ga_ve = flux * T * R_CONST / P
+        su_ga_ve = in_ga_ve * p["BeVoFr"]
+
+        mi_mo_we = thermo.mixture_molecular_weight(mo_fri, mw, "kg/mol")
+        ga_de = thermo.density_ig(mi_mo_we, conc_tot)
+
+        eps = p["BeVoFr"]
+        erg_a = 150 * p["GaMiVi"] * su_ga_ve / p["PaDi"] ** 2
+        erg_b = (1 - eps) ** 2 / eps**3
+        erg_c = 1.75 * ga_de * su_ga_ve**2 / p["PaDi"]
+        erg_d = (1 - eps) / eps**3
+        dP = -(erg_a * erg_b + erg_c * erg_d)
+
+        r0 = spec.rates(T, P, mo_fri, conc, p["kinetic_overrides"])
+        ri = r0 @ nu_comp
+        ov_r = jnp.sum(ri)
+
+        cp_mix = thermo.cp_mix(mo_fri, thermo.cp_mean(T, idx))
+        en_ch = (thermo.cp_mean(T, eq_idx) @ eq_nu.T) * (T - Tref)
+        he_re_t = en_ch + dh25
+        ov_he_re_t = jnp.dot(r0, he_re_t)
+        qm = jnp.where(p["Tm"] == 0, 0.0, p["U"] * (4 / p["ReInDi"]) * (p["Tm"] - T))
+
+        dF = cr_se_ar * ri
+        dFlux = ov_r
+        dT = (-ov_he_re_t + qm) / (flux * cp_mix)
+        return jnp.concatenate([dF, dFlux[None], dT[None], dP[None]])
+
+    return rhs
+
+
+def m2_initial_state(spec: PBSpec, p):
+    """Uniform fields at feed values (reference pbReactor.py:640-653)."""
+    c0 = p["SpCoi0"][:, None] * jnp.ones((1, spec.z_no))
+    t0 = p["T0"] * jnp.ones((1, spec.z_no))
+    return jnp.concatenate([c0, t0], axis=0).reshape(-1)
+
+
+def make_m2_rhs(spec: PBSpec, frozen_pressure_jac: bool = False):
+    """Dynamic MoL RHS in dimensional variables [kmol/m^3, K]
+    (reference modelEquationM2, pbReactor.py:845-1165), vectorized over the
+    axial nodes with a lax.scan for the explicit pressure march.
+
+    frozen_pressure_jac stops gradients through the pressure/velocity march
+    for block-bidiagonal preconditioner Jacobians.
+    """
+    import jax
+
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    z_no = spec.z_no
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    mw = jnp.asarray(DB.MW[idx])
+    eq_idx = spec.stoich.eq_idx
+    eq_nu = jnp.asarray(spec.stoich.eq_nu)
+    dh25 = jnp.asarray(spec.stoich.dh_rxn_25)
+    var_no = n_comp + 1
+
+    def rhs(t, y, p):
+        dz = p["ReLe"] / (z_no - 1)
+        cr_se_ar = PI_CONST * p["ReInDi"] ** 2 / 4
+        eps = p["BeVoFr"]
+        sp_co0 = jnp.sum(p["SpCoi0"])
+        in_ga_ve0 = p["VoFlRa0"] / (cr_se_ar * eps)
+
+        Y = y.reshape(var_no, z_no)
+        c_raw = Y[:n_comp]                        # [kmol/m^3]
+        c_clamped = jnp.maximum(c_raw, EPS_CONST)
+        T_z = Y[n_comp]
+
+        co_sp = jnp.sum(c_clamped, axis=0)        # (zNo,)
+        mo_fri = c_clamped / co_sp
+
+        # pressure march: velocity from EOS depends on the marching P
+        co_sp_m = co_sp if not frozen_pressure_jac else jax.lax.stop_gradient(co_sp)
+        mi_mo_we = thermo.mixture_molecular_weight(mo_fri.T, mw, "kg/mol")
+        mi_mo_we_m = mi_mo_we if not frozen_pressure_jac else jax.lax.stop_gradient(mi_mo_we)
+
+        erg_b = (1 - eps) ** 2 / eps**3
+        erg_d = (1 - eps) / eps**3
+
+        def march(P, x):
+            co_sp_z, mimowe_z = x
+            in_ga_ve = in_ga_ve0 * (co_sp_z / sp_co0) * (p["P0"] / P)
+            su_ga_ve = in_ga_ve * eps
+            ga_de = mimowe_z * co_sp_z           # calDensityIG with kmol conc
+            erg_a = 150 * p["GaMiVi"] * su_ga_ve / p["PaDi"] ** 2
+            erg_c = 1.75 * ga_de * su_ga_ve**2 / p["PaDi"]
+            dP = -(erg_a * erg_b + erg_c * erg_d)
+            return P + dP * dz, (P, su_ga_ve)
+
+        _, (P_z, su_ga_ve_frozen) = jax.lax.scan(march, p["P0"], (co_sp_m, mi_mo_we_m))
+        # the velocity used in convection follows the *unfrozen* concentration
+        in_ga_ve_z = in_ga_ve0 * (co_sp / sp_co0) * (p["P0"] / P_z)
+        su_ga_ve_z = in_ga_ve_z * eps
+
+        # kinetics: concentrations in mol/m^3, rates scaled back to kmol
+        rate_fn = lambda T_, P_, mf_, sc_: spec.rates(
+            T_, P_, mf_, sc_, p["kinetic_overrides"]
+        )
+        r0 = 1e-3 * jax.vmap(rate_fn, in_axes=(0, 0, 1, 1), out_axes=1)(
+            T_z, P_z, mo_fri, 1e3 * c_clamped
+        )                                         # (n_rxn, zNo) [kmol/m^3.s]
+        ri = jnp.einsum("mk,mz->kz", nu_comp, r0)
+
+        cp_mean_i = thermo.cp_mean(T_z, idx)      # (zNo, n_comp)
+        cp_mix = jnp.sum(mo_fri.T * cp_mean_i, axis=-1)
+        en_ch = (thermo.cp_mean(T_z, eq_idx) @ eq_nu.T) * (T_z[:, None] - Tref)
+        he_re_t = en_ch + dh25                    # (zNo, n_rxn) [kJ/kmol]
+        ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1)  # [kJ/m^3.s]
+
+        # QUIRK: M2 uses the user-provided EfHeTrAr (not 4/D) and kJ units
+        qm = jnp.where(
+            p["Tm"] == 0, 0.0, 1e-3 * p["U"] * p["EfHeTrAr"] * (p["Tm"] - T_z)
+        )
+
+        mo_fl = co_sp * su_ga_ve_z                # molar flux [kmol/m^2.s]
+        const_f1 = 1 / eps
+        const_t1 = mo_fl * cp_mix
+        const_t2 = 1 / (co_sp * cp_mix * eps + (1 - eps) * p["CaDe"] * p["CaSpHeCa"])
+
+        c_in = p["SpCoi0"][:, None]
+        c_back = jnp.concatenate([c_in, c_clamped[:, :-1]], axis=1)
+        dcdz = (c_raw - c_back) / dz
+        dxdt_c = const_f1 * (-su_ga_ve_z * dcdz + ri)
+
+        t_back = jnp.concatenate([p["T0"][None], T_z[:-1]])
+        dtdz = (T_z - t_back) / dz
+        dxdt_t = const_t2 * (-const_t1 * dtdz + (-ov_he_re_t + qm))
+
+        return jnp.concatenate([dxdt_c, dxdt_t[None]], axis=0).reshape(-1)
+
+    return rhs

@@ -85,7 +85,7 @@ def _cmatmul(ar, ai, br, bi):
     return ar @ br - ai @ bi, ar @ bi + ai @ br
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12))
 def odeint_ensemble(
     f,
     y0,                     # (B, n)
@@ -99,6 +99,7 @@ def odeint_ensemble(
     ns_step: int = 3,
     jac=None,
     batched: bool = False,
+    rhs_noise: float | None = None,
     args=None,
 ):
     """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
@@ -107,8 +108,16 @@ def odeint_ensemble(
     batched=True, in which case f (and jac, if given) already operate on
     the whole batch: f(t (B,), y (B,n)) -> (B,n), jac -> (B,n,n). The
     batched form is how per-member parameters enter (close them over in f).
+
+    rhs_noise is the relative evaluation noise of f on this hardware; it
+    sets the floor of the Newton convergence test. TPU-emulated float64
+    transcendentals are only ~f32 accurate (measured 4e-8 relative), so
+    Newton increments plateau at noise*|K|/scale instead of reaching the
+    nominal tolerance. Defaults per backend.
     Returns (ys, stats) with ys of shape (n_out, B, n); ys[0] == y0.
     """
+    if rhs_noise is None:
+        rhs_noise = 4e-8 if jax.default_backend() == "tpu" else 1e-14
     if args is not None:
         f_ = lambda t, y: f(t, y, *args)
     else:
@@ -304,7 +313,13 @@ def odeint_ensemble(
                     dK.reshape(Bsz, -1), jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0)
                 )
                 dn_new = jnp.where(jnp.isfinite(dn_new), dn_new, jnp.inf)
-                done_new = done | (dn_new < _NEWTON_TOL)
+                # convergence floor set by the RHS evaluation noise on this
+                # hardware: increments cannot shrink below ~noise*|K|/scale
+                floor = rhs_noise * norm_b(
+                    K.reshape(Bsz, -1), jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0)
+                )
+                tol_eff = jnp.maximum(_NEWTON_TOL, 3.0 * floor)
+                done_new = done | (dn_new < tol_eff)
                 dn_keep = jnp.where(done, dn, dn_new)
                 return (K_new, done_new, dn_keep), None
 
