@@ -59,28 +59,43 @@ def main():
     from rmt_tpu.parallel import run_n2_ensemble_lockstep
 
     mi = make_model_input(model="N2")
-    sweep = {"T0": jnp.asarray(523.0 + np.linspace(-5.0, 5.0, B))}
 
-    def run_once():
-        ys, stats = run_n2_ensemble_lockstep(mi, sweep)
-        np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
-        return ys, stats
+    # the tunneled TPU runtime has crashed at very large batches before;
+    # walk down until a size completes
+    candidates = [B, B // 4, B // 16, 64]
+    result = None
+    for b in candidates:
+        try:
+            sweep = {"T0": jnp.asarray(523.0 + np.linspace(-5.0, 5.0, b))}
 
-    run_once()  # compile
-    t0 = time.perf_counter()
-    ys, stats = run_once()
-    t_ens = time.perf_counter() - t0
+            def run_once():
+                ys, stats = run_n2_ensemble_lockstep(mi, sweep)
+                np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
+                return ys, stats
 
-    # sanity: every member produced finite state and accepted steps
-    assert bool(jnp.all(jnp.isfinite(ys[-1])))
-    assert int(jnp.min(stats.n_accepted)) > 0
+            run_once()  # compile
+            t0 = time.perf_counter()
+            ys, stats = run_once()
+            t_ens = time.perf_counter() - t0
+            assert bool(jnp.all(jnp.isfinite(ys[-1])))
+            assert int(jnp.min(stats.n_accepted)) > 0
+            result = (b, t_ens)
+            break
+        except Exception as e:  # pragma: no cover - bench robustness
+            print(f"# B={b} failed: {str(e)[:120]}", file=sys.stderr)
 
-    members_per_sec = B / t_ens
-    speedup = (B * t_ref) / t_ens
+    if result is None:
+        print(json.dumps({"metric": "n2_dme_ensemble_members_per_sec",
+                          "value": 0.0, "unit": "reactors/s", "vs_baseline": 0.0}))
+        return
+
+    b, t_ens = result
+    members_per_sec = b / t_ens
+    speedup = (b * t_ref) / t_ens
     print(
         json.dumps(
             {
-                "metric": f"n2_dme_ensemble{B}_members_per_sec",
+                "metric": f"n2_dme_ensemble{b}_members_per_sec",
                 "value": round(members_per_sec, 3),
                 "unit": "reactors/s",
                 "vs_baseline": round(speedup, 2),

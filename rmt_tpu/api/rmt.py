@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.species import SPECIES, UnknownComponentError, species_index
-from ..models import homo, pb, pf
+from ..models import homo, particle, pb, pf
 from ..solvers import dopri5, fixed, radau
 from ..utils import roundNum
 
@@ -30,6 +30,8 @@ _MODEL_IDS = {
     "M0": "plug-flow reactor",
     "M1": "packed bed reactor, steady-state, molar-flow variables",
     "M4": "plug-flow reactor",
+    "T1": "dynamic catalyst particle diffusion-reaction",
+    "T2": "steady-state catalyst particle diffusion-reaction",
     "N1": "steady-state homogenous packed bed reactor non-isothermal plug-flow",
     "N2": "dynamic homogenous packed bed reactor non-isothermal plug-flow",
 }
@@ -476,6 +478,127 @@ def _run_m2(model_input, opts):
 
 
 # ---------------------------------------------------------------------------
+# T1/T2: single catalyst-particle diffusion-reaction
+# ---------------------------------------------------------------------------
+
+def _particle_sort(spec, ys_reshaped, p):
+    n_comp = spec.n_comp
+    c_max = float(np.max(np.asarray(p["SpCoi0"])))
+    Tf = float(p["T0"])
+    iso = spec.iso_thermal
+    conc_dl = ys_reshaped[:-1] if not iso else ys_reshaped
+    temp_dl = (
+        ys_reshaped[-1:].reshape(1, spec.r_no)
+        if not iso
+        else np.zeros((1, spec.r_no))
+    )
+    conc_re = conc_dl * c_max
+    temp_re = temp_dl * Tf + Tf
+    mo_fri = conc_re / np.sum(conc_re, axis=0)
+    return conc_dl, conc_re, mo_fri, temp_dl, temp_re
+
+
+def _run_t1(model_input, opts):
+    spec = particle.build_spec(model_input)
+    p = particle.build_params(model_input)
+    key = ("T1", spec.comp_list, spec.iso_thermal, spec.r_no, spec.t_no,
+           id(model_input["reaction-rates"]["VARS"]),
+           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        rhs = particle.make_t1_rhs(spec)
+
+        def run(pp):
+            y0 = particle.t1_initial_state(spec, pp)
+            ts = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(y0.dtype)
+            ys, stats = radau.odeint(
+                lambda t, y: rhs(t, y, pp), y0, ts,
+                rtol=opts["rtol"], atol=opts["atol"],
+            )
+            return ys, ts
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+    ys, ts = runner(p)
+    ys = np.asarray(ys)
+    t_bounds = np.asarray(ts)
+
+    data_rs = np.linspace(0.0, 1.0, spec.r_no)
+    label_list = list(spec.comp_list) + ["Temperature"]
+    data_pack = []
+    for i in range(spec.t_no):
+        resh = ys[i + 1].reshape(spec.n_layer, spec.r_no)
+        conc_dl, conc_re, mo_fri, temp_dl, temp_re = _particle_sort(spec, resh, p)
+        data_pack.append({
+            "successStatus": True,
+            "dataTime": t_bounds[i + 1],
+            "dataYCo_DiLe": conc_dl,
+            "dataYCo": conc_re,
+            "dataYMoFr": mo_fri,
+            "dataYT_DiLe": temp_dl,
+            "dataYT": temp_re,
+            "dataY": np.concatenate([conc_re, temp_re], axis=0),
+        })
+    xy_list = [[data_rs, row] for row in data_pack[-1]["dataY"]]
+    data_list = [
+        {"x": data_rs, "y": xy[1], "leg": leg} for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Dimensionless Particle Radius", "")
+    return {"XYList": xy_list, "dataList": data_list, "dataPack": data_pack}
+
+
+def _run_t2(model_input, opts):
+    from ..solvers import newton
+
+    spec = particle.build_spec(model_input)
+    p = particle.build_params(model_input)
+    key = ("T2", spec.comp_list, spec.iso_thermal, spec.r_no,
+           id(model_input["reaction-rates"]["VARS"]), jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        res_fn = particle.make_t2_residual_fn(spec)
+
+        def run(pp):
+            d = particle.t2_derived(spec, pp)
+            y0 = particle.t2_initial_state(spec, pp)
+            sol = newton.root(lambda y: res_fn(y, pp, d), y0, max_iter=80)
+            return sol.x, sol.converged, sol.residual_norm
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+    x, converged, res_norm = runner(p)
+    if not bool(converged):
+        raise RuntimeError(f"T2 root solve did not converge (|F|={float(res_norm):.2e})")
+
+    resh = np.asarray(x).reshape(spec.n_layer, spec.r_no)
+    conc_dl, conc_re, mo_fri, temp_dl, temp_re = _particle_sort(spec, resh, p)
+    data_rs = np.linspace(0.0, 1.0, spec.r_no)
+    label_list = list(spec.comp_list) + ["Temperature"]
+    data_y = np.concatenate([conc_re, temp_re], axis=0)
+    xy_list = [[data_rs, row] for row in data_y]
+    data_list = [
+        {"x": data_rs, "y": xy[1], "leg": leg} for xy, leg in zip(xy_list, label_list)
+    ]
+    data_pack = [{
+        "successStatus": True,
+        "dataYCo_DiLe": conc_dl,
+        "dataYCo": conc_re,
+        "dataYMoFr": mo_fri,
+        "dataYT_DiLe": temp_dl,
+        "dataYT": temp_re,
+        "dataY": data_y,
+    }]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Dimensionless Particle Radius", "")
+    return {"XYList": xy_list, "dataList": data_list, "dataPack": data_pack}
+
+
+# ---------------------------------------------------------------------------
 
 def rmtExe(modelInput: Mapping[str, Any]):
     """Check model input, then start computation (reference: rmt.py:21-80)."""
@@ -489,6 +612,10 @@ def rmtExe(modelInput: Mapping[str, Any]):
         res_model = _run_m1(modelInput, _solver_options(modelInput))
     elif model_type == "M2":
         res_model = _run_m2(modelInput, _solver_options(modelInput))
+    elif model_type == "T1":
+        res_model = _run_t1(modelInput, _solver_options(modelInput))
+    elif model_type == "T2":
+        res_model = _run_t2(modelInput, _solver_options(modelInput))
     elif model_type in ("N1", "N2"):
         spec = homo.build_spec(modelInput)
         opts = _solver_options(modelInput)

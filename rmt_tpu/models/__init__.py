@@ -1,1 +1,1 @@
-from . import homo, pb, pf
+from . import homo, particle, pb, pf

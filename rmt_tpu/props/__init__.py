@@ -1,1 +1,1 @@
-from . import thermo, transport
+from . import film, thermo, transport

@@ -80,9 +80,19 @@ class EnsembleStats(NamedTuple):
     n_rejected: jnp.ndarray   # (B,)
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    """Full-f32 matmul: TPU lowers default-precision f32 matmuls to bf16
+    passes, whose 4e-3 relative error times cond(M) exceeds 1 for stiff
+    steps and makes Newton-Schulz diverge."""
+    return jnp.matmul(a, b, precision=_HI)
+
+
 def _cmatmul(ar, ai, br, bi):
     """(ar+i*ai) @ (br+i*bi) as real pairs."""
-    return ar @ br - ai @ bi, ar @ bi + ai @ br
+    return _mm(ar, br) - _mm(ai, bi), _mm(ar, bi) + _mm(ai, br)
 
 
 @partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12))
@@ -95,8 +105,8 @@ def odeint_ensemble(
     max_steps: int = 20_000,
     newton_iters: int = 8,
     j_every: int = 16,
-    ns_refresh: int = 30,
-    ns_step: int = 3,
+    ns_refresh: int = 5,
+    ns_step: int = 2,
     jac=None,
     batched: bool = False,
     rhs_noise: float | None = None,
@@ -168,31 +178,46 @@ def odeint_ensemble(
         ts_st = t[:, None] + C[None, :] * h[:, None]    # (B,3)
         return jax.vmap(fB, in_axes=(1, 1), out_axes=1)(ts_st, Y)
 
+    eye_f32 = jnp.eye(n, dtype=f32)[None]
+
     def ns_update(Pr, Pcr, Pci, h, J, k: int):
-        """k Newton-Schulz iterations toward (I-h*g*J)^-1 and (I-h*mu*J)^-1.
+        """k Newton-Schulz iterations toward (I-h*g*J)^-1 and (I-h*mu*J)^-1,
+        plus a residual estimate rho ~ max_b ||I - M P||_F / sqrt(n) of the
+        *result* (costs one extra M P product).
 
         J: (B,n,n) f32; h: (B,) working dtype -> cast to f32.
         """
         h32 = h.astype(f32)[:, None, None]
 
-        def it(carry, _):
+        def mp(Pr, Pcr, Pci):
+            JP = _mm(J, Pr)
+            MPr_r = Pr - (gamma * h32) * JP
+            JPr = _mm(J, Pcr)
+            JPi = _mm(J, Pci)
+            MPc_r = Pcr - h32 * (mu_r * JPr - mu_i * JPi)
+            MPc_i = Pci - h32 * (mu_r * JPi + mu_i * JPr)
+            return MPr_r, MPc_r, MPc_i
+
+        def it2(carry, _):
             Pr, Pcr, Pci = carry
-            # real: M P = P - h*gamma*(J @ P)
-            JP = J @ Pr
-            MP = Pr - (gamma * h32) * JP
-            Pr_new = 2 * Pr - Pr @ MP
-            # complex: M = I - h*mu*J (J real)
-            JPr = J @ Pcr
-            JPi = J @ Pci
-            MPr = Pcr - h32 * (mu_r * JPr - mu_i * JPi)
-            MPi = Pci - h32 * (mu_r * JPi + mu_i * JPr)
-            PMr, PMi = _cmatmul(Pcr, Pci, MPr, MPi)
+            MPr_r, MPc_r, MPc_i = mp(Pr, Pcr, Pci)
+            Pr_new = 2 * Pr - _mm(Pr, MPr_r)
+            PMr, PMi = _cmatmul(Pcr, Pci, MPc_r, MPc_i)
             Pcr_new = 2 * Pcr - PMr
             Pci_new = 2 * Pci - PMi
             return (Pr_new, Pcr_new, Pci_new), None
 
-        (Pr, Pcr, Pci), _ = lax.scan(it, (Pr, Pcr, Pci), None, length=k)
-        return Pr, Pcr, Pci
+        (Pr, Pcr, Pci), _ = lax.scan(it2, (Pr, Pcr, Pci), None, length=k)
+        # residual of the final iterate
+        MPr_r, MPc_r, MPc_i = mp(Pr, Pcr, Pci)
+        res_r = jnp.sqrt(jnp.mean((eye_f32 - MPr_r) ** 2, axis=(-1, -2)) * n)
+        res_c = jnp.sqrt(
+            (jnp.mean((eye_f32 - MPc_r) ** 2, axis=(-1, -2))
+             + jnp.mean(MPc_i**2, axis=(-1, -2))) * n
+        )
+        rho = jnp.maximum(jnp.max(res_r), jnp.max(res_c))
+        rho = jnp.where(jnp.isfinite(rho), rho, jnp.inf)
+        return Pr, Pcr, Pci, rho
 
     def ns_cold_start(h, J):
         """Guaranteed-convergent Newton-Schulz seeds P0 = M^H/(|M|_1 |M|_inf).
@@ -237,13 +262,13 @@ def odeint_ensemble(
         R32r = Wr.astype(f32)
         R32i = Wi.astype(f32)
         # stage 0: real solve
-        Z0 = jnp.einsum("bnm,bm->bn", Pr, R32r[:, 0])
+        Z0 = jnp.einsum("bnm,bm->bn", Pr, R32r[:, 0], precision=_HI)
         # stage 1: complex solve
-        Z1r = jnp.einsum("bnm,bm->bn", Pcr, R32r[:, 1]) - jnp.einsum(
-            "bnm,bm->bn", Pci, R32i[:, 1]
+        Z1r = jnp.einsum("bnm,bm->bn", Pcr, R32r[:, 1], precision=_HI) - jnp.einsum(
+            "bnm,bm->bn", Pci, R32i[:, 1], precision=_HI
         )
-        Z1i = jnp.einsum("bnm,bm->bn", Pcr, R32i[:, 1]) + jnp.einsum(
-            "bnm,bm->bn", Pci, R32r[:, 1]
+        Z1i = jnp.einsum("bnm,bm->bn", Pcr, R32i[:, 1], precision=_HI) + jnp.einsum(
+            "bnm,bm->bn", Pci, R32r[:, 1], precision=_HI
         )
         # stage 2 = conj(stage 1)
         Zr = jnp.stack([Z0, Z1r, Z1r], axis=1).astype(dtype)
@@ -253,10 +278,12 @@ def odeint_ensemble(
         return dK
 
     def solve(Rhs, h, J64, Pr, Pcr, Pci):
-        """Preconditioned solve with one f64 refinement pass."""
-        x = apply_P(Rhs, Pr, Pcr, Pci)
-        r = Rhs - m_matvec(x, h, J64)
-        return x + apply_P(r, Pr, Pcr, Pci)
+        """Preconditioned solve. No linear refinement pass: the outer
+        Newton iteration re-evaluates the residual in the working dtype
+        every sweep, so approximate solves only affect the contraction
+        rate -- and a refinement would cost TPU-emulated f64 matmuls
+        (~20x f32) per iteration."""
+        return apply_P(Rhs, Pr, Pcr, Pci)
 
     def norm_b(v, scale):
         return jnp.sqrt(jnp.mean((v / scale) ** 2, axis=-1))
@@ -284,14 +311,24 @@ def odeint_ensemble(
             n_jev_inc = refresh.astype(jnp.int32)
             J64 = J.astype(dtype)
 
-            # preconditioner maintenance: cold restart after a Jacobian
-            # refresh (warm starts can leave the Newton-Schulz basin),
-            # cheap warm iterations otherwise
-            Pr, Pcr, Pci = lax.cond(
+            # preconditioner maintenance: warm Newton-Schulz iterations
+            # (h drift is bounded, J drift is small even across refreshes);
+            # if the residual shows P left the convergence basin, rescue
+            # with a guaranteed cold start (M^H seed + many iterations)
+            Pr, Pcr, Pci, rho = lax.cond(
                 refresh,
-                lambda P: ns_update(*ns_cold_start(h_eff, J), h_eff, J, ns_refresh),
+                lambda P: ns_update(P[0], P[1], P[2], h_eff, J, ns_refresh),
                 lambda P: ns_update(P[0], P[1], P[2], h_eff, J, ns_step),
                 (Pr, Pcr, Pci),
+            )
+            need_rescue = ~(rho < 0.8)   # includes NaN/Inf
+
+            def rescue(P):
+                out = ns_update(*ns_cold_start(h_eff, J), h_eff, J, 60)
+                return out[0], out[1], out[2]
+
+            Pr, Pcr, Pci = lax.cond(
+                need_rescue, rescue, lambda P: (P[0], P[1], P[2]), (Pr, Pcr, Pci)
             )
 
             scale = atol + rtol * jnp.abs(y)
@@ -300,8 +337,12 @@ def odeint_ensemble(
             f0 = fval
             K = jnp.tile(f0[:, None, :], (1, 3, 1))
 
-            def newton(carry_n, _):
-                K, done, dn = carry_n
+            def newton_cond(carry_n):
+                _, done, _, it = carry_n
+                return (~jnp.all(done)) & (it < newton_iters)
+
+            def newton(carry_n):
+                K, done, dn, it = carry_n
                 Y = y[:, None, :] + h_eff[:, None, None] * jnp.einsum(
                     "ij,bjn->bin", A, K
                 )
@@ -309,25 +350,31 @@ def odeint_ensemble(
                 R = F - K
                 dK = solve(R, h_eff, J64, Pr, Pcr, Pci)
                 K_new = K + jnp.where(done[:, None, None], 0.0, dK)
+                # convergence is measured on the *stage value* increment
+                # h*dK (K are derivatives; their effect on y is h*K) --
+                # the criterion classic Radau codes apply to Z = h*K
                 dn_new = norm_b(
-                    dK.reshape(Bsz, -1), jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0)
+                    (h_eff[:, None] * dK.reshape(Bsz, -1)),
+                    jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
                 )
                 dn_new = jnp.where(jnp.isfinite(dn_new), dn_new, jnp.inf)
-                # convergence floor set by the RHS evaluation noise on this
-                # hardware: increments cannot shrink below ~noise*|K|/scale
+                # floor from hardware RHS noise: h*dK cannot beat h*noise*|K|
                 floor = rhs_noise * norm_b(
-                    K.reshape(Bsz, -1), jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0)
+                    (h_eff[:, None] * K.reshape(Bsz, -1)),
+                    jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
                 )
                 tol_eff = jnp.maximum(_NEWTON_TOL, 3.0 * floor)
                 done_new = done | (dn_new < tol_eff)
                 dn_keep = jnp.where(done, dn, dn_new)
-                return (K_new, done_new, dn_keep), None
+                return (K_new, done_new, dn_keep, it + 1)
 
-            (K, conv, _), _ = lax.scan(
+            # early-exit while loop: every iteration costs a full batched
+            # stage evaluation, so stop as soon as all members converged
+            K, conv, _, _ = lax.while_loop(
+                newton_cond,
                 newton,
-                (K, jnp.zeros(Bsz, bool), jnp.full((Bsz,), jnp.inf, dtype)),
-                None,
-                length=newton_iters,
+                (K, jnp.zeros(Bsz, bool), jnp.full((Bsz,), jnp.inf, dtype),
+                 jnp.asarray(0, jnp.int32)),
             )
 
             y1 = y + h_eff[:, None] * jnp.einsum("j,bjn->bn", Bv, K)
@@ -336,13 +383,16 @@ def odeint_ensemble(
             err_raw = h_eff[:, None] * (
                 jnp.einsum("j,bjn->bn", Bv - BHAT[1:], K) - BHAT[0] * f0
             )
+            # smoothing entirely in f32: the estimate only gates the
+            # controller, ~1e-7 relative noise is irrelevant
             e32 = err_raw.astype(f32)
-            err_s = jnp.einsum("bnm,bm->bn", Pr, e32).astype(dtype)
-            # one refinement of the smoothing solve
-            r_e = err_raw - (err_s - (gamma * h_eff)[:, None] * jnp.einsum(
-                "bnm,bm->bn", J64, err_s
+            err_s32 = jnp.einsum("bnm,bm->bn", Pr, e32, precision=_HI)
+            r_e = e32 - (err_s32 - (gamma * h_eff.astype(f32))[:, None] * jnp.einsum(
+                "bnm,bm->bn", J.astype(f32), err_s32, precision=_HI
             ))
-            err_s = err_s + jnp.einsum("bnm,bm->bn", Pr, r_e.astype(f32)).astype(dtype)
+            err_s = (err_s32 + jnp.einsum(
+                "bnm,bm->bn", Pr, r_e, precision=_HI
+            )).astype(dtype)
 
             scale2 = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
             err_norm = norm_b(err_s, scale2)
