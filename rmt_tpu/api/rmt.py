@@ -27,9 +27,13 @@ ISO = homo.ISO_THERMAL
 # clear NotImplementedError until their build step lands
 _MODEL_IDS = {
     "M2": "dynamic packed-bed reactor, concentration variables",
+    "M3": "batch reactor",
+    "M5": "plug-flow heterogenous reactor",
     "M0": "plug-flow reactor",
     "M1": "packed bed reactor, steady-state, molar-flow variables",
     "M4": "plug-flow reactor",
+    "M7": "steady-state packed-bed reactor, concentration variables",
+    "M8": "steady-state packed-bed reactor, concentration + velocity",
     "T1": "dynamic catalyst particle diffusion-reaction",
     "T2": "steady-state catalyst particle diffusion-reaction",
     "N1": "steady-state homogenous packed bed reactor non-isothermal plug-flow",
@@ -478,6 +482,139 @@ def _run_m2(model_input, opts):
 
 
 # ---------------------------------------------------------------------------
+# M3 (batch) and M5 (hetero steady, flow variables)
+# ---------------------------------------------------------------------------
+
+def _run_batch(model_input, opts):
+    from ..models import batch
+
+    spec = batch.build_spec(model_input)
+    p = batch.build_params(model_input)
+    key = ("M3", spec.comp_list, spec.iso_thermal,
+           id(model_input["reaction-rates"]["VARS"]),
+           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        rhs = batch.make_rhs(spec)
+
+        def run(pp):
+            y0 = batch.initial_state(spec, pp)
+            ts = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_out)).astype(y0.dtype)
+            ys, stats = radau.odeint(
+                lambda t, y: rhs(t, y, pp), y0, ts,
+                rtol=opts["rtol"], atol=opts["atol"],
+            )
+            return ys.T, ts
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+    ys, ts = runner(p)
+    ys = np.asarray(ys)
+    data_x = np.asarray(ts)
+    label_list = list(spec.comp_list) + ([] if spec.iso_thermal else ["Temperature"])
+    xy_list = [[data_x, row] for row in ys]
+    data_list = [
+        {"x": data_x, "y": xy[1], "leg": leg} for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Time (s)", "Concentration (mol/m^3)")
+    return {"XYList": xy_list, "dataList": data_list}
+
+
+def _run_m5(model_input, opts):
+    from ..models import hetero
+
+    spec = hetero.build_spec(model_input)
+    p = hetero.build_params(model_input)
+    key = ("M5", spec.comp_list, tuple(model_input["reactions"].values()),
+           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        rhs = hetero.make_m5_rhs(spec)
+
+        def run(pp):
+            y0 = hetero.m5_initial_state(spec, pp)
+            ts = jnp.linspace(0.0, 1.0, spec.z_out).astype(y0.dtype) * pp["ReLe"]
+            ys, stats = radau.odeint(
+                lambda t, y: rhs(t, y, pp), y0, ts,
+                rtol=opts["rtol"], atol=opts["atol"],
+            )
+            return ys.T, ts
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+    ys, ts = runner(p)
+    ys = np.asarray(ys)
+    data_x = np.asarray(ts)
+    label_list = list(spec.comp_list) + ["Flux", "Temperature", "Pressure"]
+    xy_list = [[data_x, row] for row in ys]
+    data_list = [
+        {"x": data_x, "y": xy[1], "leg": leg} for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Reactor Length (m)", "")
+    return {"XYList": xy_list, "dataList": data_list}
+
+
+# ---------------------------------------------------------------------------
+# M7/M8: concentration-based steady packed-bed models
+# ---------------------------------------------------------------------------
+
+def _run_m_conc_steady(model_input, opts, model_id):
+    spec = pb.build_spec(model_input)
+    p = pb.build_params(model_input)
+    key = (model_id, spec.comp_list,
+           tuple(model_input["reactions"].values()),
+           id(model_input["reaction-rates"]["VARS"]),
+           opts["ivp"], opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    n_out = 30 if model_id == "M7" else 25    # solverSetting M9.zNo / S3.timesNo
+    runner = _jit_cache.get(key)
+    if runner is None:
+        if model_id == "M7":
+            rhs = pb.make_m3_rhs(spec)
+            init = pb.m3_initial_state
+        else:
+            rhs = pb.make_m4_rhs(spec)
+            init = pb.m4_initial_state
+
+        def run(pp):
+            y0 = init(spec, pp)
+            ts = jnp.linspace(0.0, 1.0, n_out).astype(y0.dtype) * pp["ReLe"]
+            solver = dopri5.odeint if opts["ivp"] in ("RK45", "dopri5") else radau.odeint
+            ys, stats = solver(
+                lambda t, y: rhs(t, y, pp), y0, ts,
+                rtol=opts["rtol"], atol=opts["atol"],
+            )
+            return ys.T, ts
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+    ys, ts = runner(p)
+    ys = np.asarray(ys)
+    data_x = np.asarray(ts)
+    n_comp = spec.n_comp
+
+    mo_fri = ys[:n_comp] / np.sum(ys[:n_comp], axis=0)
+    data_ys = np.concatenate([mo_fri, ys[n_comp:n_comp + 1]], axis=0)
+    label_list = list(spec.comp_list) + ["Temperature", "Pressure"]
+    if model_id == "M8":
+        label_list.append("Velocity")
+    xy_list = [[data_x, row] for row in data_ys]
+    data_list = [
+        {"x": data_x, "y": xy[1], "leg": leg} for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Reactor Length (m)", "")
+    return {"dataYs": data_ys, "XYList": xy_list, "dataList": data_list}
+
+
+# ---------------------------------------------------------------------------
 # T1/T2: single catalyst-particle diffusion-reaction
 # ---------------------------------------------------------------------------
 
@@ -612,6 +749,12 @@ def rmtExe(modelInput: Mapping[str, Any]):
         res_model = _run_m1(modelInput, _solver_options(modelInput))
     elif model_type == "M2":
         res_model = _run_m2(modelInput, _solver_options(modelInput))
+    elif model_type == "M3":
+        res_model = _run_batch(modelInput, _solver_options(modelInput))
+    elif model_type == "M5":
+        res_model = _run_m5(modelInput, _solver_options(modelInput))
+    elif model_type in ("M7", "M8"):
+        res_model = _run_m_conc_steady(modelInput, _solver_options(modelInput), model_type)
     elif model_type == "T1":
         res_model = _run_t1(modelInput, _solver_options(modelInput))
     elif model_type == "T2":

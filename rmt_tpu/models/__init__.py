@@ -1,1 +1,1 @@
-from . import homo, particle, pb, pf
+from . import batch, hetero, homo, particle, pb, pf

@@ -251,3 +251,121 @@ def make_m2_rhs(spec: PBSpec, frozen_pressure_jac: bool = False):
         return jnp.concatenate([dxdt_c, dxdt_t[None]], axis=0).reshape(-1)
 
     return rhs
+
+
+def m3_initial_state(spec: PBSpec, p):
+    """IV for the concentration-based steady model (reference id M7;
+    pbReactor.py:1243-1248)."""
+    return jnp.concatenate([p["SpCoi0"], p["T0"][None], p["P0"][None]])
+
+
+def make_m3_rhs(spec: PBSpec):
+    """Concentration-based steady RHS (reference id M7, modelEquationM3,
+    pbReactor.py:1371-1575): state (Ci [mol/m^3], T, P), velocity from the
+    EOS, Ergun pressure drop, Qm without the adiabatic rule."""
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    mw = jnp.asarray(DB.MW[idx])
+    eq_idx = spec.stoich.eq_idx
+    eq_nu = jnp.asarray(spec.stoich.eq_nu)
+    dh25 = jnp.asarray(spec.stoich.dh_rxn_25)
+
+    def rhs(z, y, p):
+        cr_se_ar = PI_CONST * p["ReInDi"] ** 2 / 4
+        eps = p["BeVoFr"]
+        sp_co0 = jnp.sum(p["SpCoi0"])
+        in_ga_ve0 = p["VoFlRa0"] / (cr_se_ar * eps)
+
+        conc = y[:n_comp]
+        T = y[n_comp]
+        P = y[n_comp + 1]
+        co_sp = jnp.sum(conc)
+        mo_fri = conc / co_sp
+
+        in_ga_ve = in_ga_ve0 * (co_sp / sp_co0) * (p["P0"] / P)
+        su_ga_ve = in_ga_ve * eps
+        mo_fl = co_sp * su_ga_ve
+
+        mi_mo_we = thermo.mixture_molecular_weight(mo_fri, mw, "kg/mol")
+        ga_de = thermo.density_ig(mi_mo_we, co_sp)
+        erg_a = 150 * p["GaMiVi"] * su_ga_ve / p["PaDi"] ** 2
+        erg_b = (1 - eps) ** 2 / eps**3
+        erg_c = 1.75 * ga_de * su_ga_ve**2 / p["PaDi"]
+        erg_d = (1 - eps) / eps**3
+        dP = -(erg_a * erg_b + erg_c * erg_d)
+
+        r0 = spec.rates(T, P, mo_fri, conc, p["kinetic_overrides"])
+        ri = r0 @ nu_comp
+
+        cp_mix = thermo.cp_mix(mo_fri, thermo.cp_mean(T, idx))
+        en_ch = (thermo.cp_mean(T, eq_idx) @ eq_nu.T) * (T - Tref)
+        ov_he_re_t = jnp.dot(r0, en_ch + dh25)
+        qm = p["U"] * p["EfHeTrAr"] * (p["Tm"] - T)
+
+        dC = ri / su_ga_ve
+        dT = (-ov_he_re_t + qm) / (mo_fl * cp_mix)
+        return jnp.concatenate([dC, dT[None], dP[None]])
+
+    return rhs
+
+
+def m4_initial_state(spec: PBSpec, p):
+    """IV for the velocity-resolved steady model (reference id M8;
+    pbReactor.py:1650-1665)."""
+    cr_se_ar = PI_CONST * p["ReInDi"] ** 2 / 4
+    su_ga_ve0 = p["VoFlRa0"] / cr_se_ar
+    return jnp.concatenate(
+        [p["SpCoi0"], p["T0"][None], p["P0"][None], su_ga_ve0[None]]
+    )
+
+
+def make_m4_rhs(spec: PBSpec):
+    """Concentration-based steady RHS with a velocity ODE (reference id M8,
+    modelEquationM4, pbReactor.py:1778-1995): dv/dz from the differentiated
+    EOS, mass balance with the -Ci*dv/dz expansion term."""
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    mw = jnp.asarray(DB.MW[idx])
+    eq_idx = spec.stoich.eq_idx
+    eq_nu = jnp.asarray(spec.stoich.eq_nu)
+    dh25 = jnp.asarray(spec.stoich.dh_rxn_25)
+
+    def rhs(z, y, p):
+        cr_se_ar = PI_CONST * p["ReInDi"] ** 2 / 4
+        eps = p["BeVoFr"]
+
+        conc = y[:n_comp]
+        T = y[n_comp]
+        P = y[n_comp + 1]
+        su_ga_ve = y[n_comp + 2]
+        co_sp = jnp.sum(conc)
+        mo_fri = conc / co_sp
+        mo_fl = co_sp * su_ga_ve
+
+        mi_mo_we = thermo.mixture_molecular_weight(mo_fri, mw, "kg/mol")
+        ga_de = thermo.density_ig(mi_mo_we, co_sp)
+        erg_a = 150 * p["GaMiVi"] * su_ga_ve / p["PaDi"] ** 2
+        erg_b = (1 - eps) ** 2 / eps**3
+        erg_c = 1.75 * ga_de * su_ga_ve**2 / p["PaDi"]
+        erg_d = (1 - eps) / eps**3
+        dP = -(erg_a * erg_b + erg_c * erg_d)
+
+        r0 = spec.rates(T, P, mo_fri, conc, p["kinetic_overrides"])
+        ri = r0 @ nu_comp
+        ov_r = jnp.sum(ri)
+
+        cp_mix = thermo.cp_mix(mo_fri, thermo.cp_mean(T, idx))
+        en_ch = (thermo.cp_mean(T, eq_idx) @ eq_nu.T) * (T - Tref)
+        ov_he_re_t = jnp.dot(r0, en_ch + dh25)
+        qm = p["U"] * p["EfHeTrAr"] * (p["Tm"] - T)
+
+        dT = (-ov_he_re_t + qm) / (mo_fl * cp_mix)
+        dv = (1 / co_sp) * (
+            (-su_ga_ve / R_CONST) * ((1 / T) * dP - (P / T**2) * dT) + ov_r
+        )
+        dC = (-conc * dv + ri) / su_ga_ve
+        return jnp.concatenate([dC, dT[None], dP[None], dv[None]])
+
+    return rhs
