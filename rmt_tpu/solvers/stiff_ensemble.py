@@ -215,7 +215,7 @@ def odeint_ensemble(
             (jnp.mean((eye_f32 - MPc_r) ** 2, axis=(-1, -2))
              + jnp.mean(MPc_i**2, axis=(-1, -2))) * n
         )
-        rho = jnp.maximum(jnp.max(res_r), jnp.max(res_c))
+        rho = jnp.maximum(res_r, res_c)                 # (B,)
         rho = jnp.where(jnp.isfinite(rho), rho, jnp.inf)
         return Pr, Pcr, Pci, rho
 
@@ -288,150 +288,155 @@ def odeint_ensemble(
     def norm_b(v, scale):
         return jnp.sqrt(jnp.mean((v / scale) ** 2, axis=-1))
 
+    # Control-flow note (measured on the axon-tunneled TPU): lax.while_loop
+    # iterations cost ~1s each regardless of body size, while the same body
+    # under lax.scan costs ~10ms -- the tunnel appears to synchronize per
+    # while iteration. The stepper therefore runs CHUNKS of a static number
+    # of masked attempts under lax.scan, with one coarse early-exit
+    # while_loop per output segment whose iteration count is ~n_attempts/16.
+    chunk = 16
+
+    def attempt(state, _):
+        t, y, fval, h, J, Pr, Pcr, Pci, st, t_end = state
+        active = t < t_end
+        h_eff = jnp.where(active, jnp.minimum(h, t_end - t), h)
+        J64 = J.astype(dtype)
+
+        # warm preconditioner maintenance every attempt (h drift <= 1.4x)
+        Pr, Pcr, Pci, rho = ns_update(Pr, Pcr, Pci, h_eff, J, ns_step)
+
+        scale = atol + rtol * jnp.abs(y)
+
+        # --- simplified Newton on the stacked stages (fixed sweeps, masked)
+        f0 = fval
+        K = jnp.tile(f0[:, None, :], (1, 3, 1))
+
+        def newton(carry_n, _):
+            K, done, dn, rn = carry_n
+            Y = y[:, None, :] + h_eff[:, None, None] * jnp.einsum(
+                "ij,bjn->bin", A, K
+            )
+            F = stage_eval(t, h_eff, Y)
+            R = F - K
+            # equation residual in step-error units (guards against a
+            # silently-bad preconditioner making increments tiny while the
+            # system stays unsolved)
+            rn_new = norm_b(
+                (h_eff[:, None] * R.reshape(Bsz, -1)),
+                jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
+            )
+            rn_new = jnp.where(jnp.isfinite(rn_new), rn_new, jnp.inf)
+            dK = solve(R, h_eff, J64, Pr, Pcr, Pci)
+            K_new = K + jnp.where(done[:, None, None], 0.0, dK)
+            # convergence is measured on the *stage value* increment h*dK
+            # (the criterion classic Radau codes apply to Z = h*K)
+            dn_new = norm_b(
+                (h_eff[:, None] * dK.reshape(Bsz, -1)),
+                jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
+            )
+            dn_new = jnp.where(jnp.isfinite(dn_new), dn_new, jnp.inf)
+            # floor from hardware RHS noise: h*dK cannot beat h*noise*|K|
+            floor = rhs_noise * norm_b(
+                (h_eff[:, None] * K.reshape(Bsz, -1)),
+                jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
+            )
+            tol_eff = jnp.maximum(_NEWTON_TOL, 3.0 * floor)
+            rn_keep = jnp.where(done, rn, rn_new)
+            done_new = done | (dn_new < tol_eff)
+            dn_keep = jnp.where(done, dn, dn_new)
+            return (K_new, done_new, dn_keep, rn_keep), None
+
+        (K, conv, _, res_n), _ = lax.scan(
+            newton,
+            (K, jnp.zeros(Bsz, bool), jnp.full((Bsz,), jnp.inf, dtype),
+             jnp.full((Bsz,), jnp.inf, dtype)),
+            None,
+            length=newton_iters,
+        )
+        # certify the linear solves: a silently-bad preconditioner makes
+        # Newton increments tiny while the system stays unsolved, so require
+        # the Newton-Schulz residual ||I - M P||_F/sqrt(n) to be small and
+        # the final equation residual finite
+        conv = conv & (rho < 0.5) & jnp.isfinite(res_n)
+
+        y1 = y + h_eff[:, None] * jnp.einsum("j,bjn->bn", Bv, K)
+
+        # embedded error estimate smoothed by the real preconditioner,
+        # entirely in f32 (it only gates the controller)
+        err_raw = h_eff[:, None] * (
+            jnp.einsum("j,bjn->bn", Bv - BHAT[1:], K) - BHAT[0] * f0
+        )
+        e32 = err_raw.astype(f32)
+        err_s32 = jnp.einsum("bnm,bm->bn", Pr, e32, precision=_HI)
+        r_e = e32 - (err_s32 - (gamma * h_eff.astype(f32))[:, None] * jnp.einsum(
+            "bnm,bm->bn", J, err_s32, precision=_HI
+        ))
+        err_s = (err_s32 + jnp.einsum(
+            "bnm,bm->bn", Pr, r_e, precision=_HI
+        )).astype(dtype)
+
+        scale2 = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+        err_norm = norm_b(err_s, scale2)
+        err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
+        err_norm = jnp.where(conv, err_norm, jnp.inf)
+
+        accept = (err_norm <= 1.0) & active
+        err_c = jnp.clip(err_norm, 1e-10, 1e10)
+        factor = jnp.clip(_SAFETY * err_c**_ORDER_EXP, _MIN_FACTOR, _MAX_FACTOR)
+        factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
+        # Newton failure: halve rather than floor -- a 0.5 step-ratio keeps
+        # the warm preconditioner well inside its basin
+        factor = jnp.where(conv, factor, 0.5)
+        clamped = h_eff < h
+        h_new = jnp.where(
+            accept & clamped, jnp.maximum(h, h_eff * factor), h_eff * factor
+        )
+        h_new = jnp.where(active, h_new, h)
+
+        t_new = jnp.where(accept, t + h_eff, t)
+        y_new = jnp.where(accept[:, None], y1, y)
+        f_cand = fB(t_new, y_new)
+        f_new = jnp.where(accept[:, None], f_cand, fval)
+
+        st_new = EnsembleStats(
+            st.n_fev + jnp.where(active, 3 * newton_iters + 1, 0),
+            st.n_jev,
+            st.n_accepted + accept.astype(jnp.int32),
+            st.n_rejected + ((~accept) & active).astype(jnp.int32),
+        )
+        return (t_new, y_new, f_new, h_new, J, Pr, Pcr, Pci, st_new, t_end), None
+
     def segment(carry, t_end):
+        max_chunks = max(max_steps // chunk, 1)
+
         def cond(state):
-            (t, *_), steps, _ = state
-            return jnp.any(t < t_end) & (steps < max_steps)
+            (t, *_), chunks = state
+            return jnp.any(t < t_end) & (chunks < max_chunks)
 
         def body(state):
-            (t, y, fval, h, J, Pr, Pcr, Pci, since_j, newton_bad, st), steps, _ = state
-            active = t < t_end
-            h_eff = jnp.where(active, jnp.minimum(h, t_end - t), h)
-
-            # global Jacobian refresh (scalar predicate -> skipped when idle)
-            refresh = (since_j >= j_every) | newton_bad
-
-            def do_refresh(_):
-                return jacB(t, y).astype(f32), jnp.asarray(0, jnp.int32)
-
-            def no_refresh(_):
-                return J, since_j + 1
-
-            J, since_j = lax.cond(refresh, do_refresh, no_refresh, None)
-            n_jev_inc = refresh.astype(jnp.int32)
-            J64 = J.astype(dtype)
-
-            # preconditioner maintenance: warm Newton-Schulz iterations
-            # (h drift is bounded, J drift is small even across refreshes);
-            # if the residual shows P left the convergence basin, rescue
-            # with a guaranteed cold start (M^H seed + many iterations)
-            Pr, Pcr, Pci, rho = lax.cond(
-                refresh,
-                lambda P: ns_update(P[0], P[1], P[2], h_eff, J, ns_refresh),
-                lambda P: ns_update(P[0], P[1], P[2], h_eff, J, ns_step),
-                (Pr, Pcr, Pci),
+            (t, y, fval, h, J, Pr, Pcr, Pci, st), chunks = state
+            # refresh the Jacobian once per chunk (h can grow <= 1.4^16
+            # within the chunk; the warm per-attempt Newton-Schulz tracks it)
+            J = jacB(t, y).astype(f32)
+            # reset any non-finite preconditioner to the safe cold seed
+            Pr0c, Pcr0c, Pci0c = ns_cold_start(h, J)
+            bad = ~jnp.all(
+                jnp.isfinite(Pr) & jnp.isfinite(Pcr) & jnp.isfinite(Pci),
+                axis=(-1, -2),
             )
-            need_rescue = ~(rho < 0.8)   # includes NaN/Inf
+            Pr = jnp.where(bad[:, None, None], Pr0c, Pr)
+            Pcr = jnp.where(bad[:, None, None], Pcr0c, Pcr)
+            Pci = jnp.where(bad[:, None, None], Pci0c, Pci)
+            Pr, Pcr, Pci, _ = ns_update(Pr, Pcr, Pci, h, J, ns_refresh)
+            st = st._replace(n_jev=st.n_jev + 1)
 
-            def rescue(P):
-                out = ns_update(*ns_cold_start(h_eff, J), h_eff, J, 60)
-                return out[0], out[1], out[2]
+            inner0 = (t, y, fval, h, J, Pr, Pcr, Pci, st, t_end)
+            inner, _ = lax.scan(attempt, inner0, None, length=chunk)
+            t, y, fval, h, J, Pr, Pcr, Pci, st, _ = inner
+            return (t, y, fval, h, J, Pr, Pcr, Pci, st), chunks + 1
 
-            Pr, Pcr, Pci = lax.cond(
-                need_rescue, rescue, lambda P: (P[0], P[1], P[2]), (Pr, Pcr, Pci)
-            )
-
-            scale = atol + rtol * jnp.abs(y)
-
-            # --- simplified Newton on the stacked stages ---
-            f0 = fval
-            K = jnp.tile(f0[:, None, :], (1, 3, 1))
-
-            def newton_cond(carry_n):
-                _, done, _, it = carry_n
-                return (~jnp.all(done)) & (it < newton_iters)
-
-            def newton(carry_n):
-                K, done, dn, it = carry_n
-                Y = y[:, None, :] + h_eff[:, None, None] * jnp.einsum(
-                    "ij,bjn->bin", A, K
-                )
-                F = stage_eval(t, h_eff, Y)
-                R = F - K
-                dK = solve(R, h_eff, J64, Pr, Pcr, Pci)
-                K_new = K + jnp.where(done[:, None, None], 0.0, dK)
-                # convergence is measured on the *stage value* increment
-                # h*dK (K are derivatives; their effect on y is h*K) --
-                # the criterion classic Radau codes apply to Z = h*K
-                dn_new = norm_b(
-                    (h_eff[:, None] * dK.reshape(Bsz, -1)),
-                    jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
-                )
-                dn_new = jnp.where(jnp.isfinite(dn_new), dn_new, jnp.inf)
-                # floor from hardware RHS noise: h*dK cannot beat h*noise*|K|
-                floor = rhs_noise * norm_b(
-                    (h_eff[:, None] * K.reshape(Bsz, -1)),
-                    jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
-                )
-                tol_eff = jnp.maximum(_NEWTON_TOL, 3.0 * floor)
-                done_new = done | (dn_new < tol_eff)
-                dn_keep = jnp.where(done, dn, dn_new)
-                return (K_new, done_new, dn_keep, it + 1)
-
-            # early-exit while loop: every iteration costs a full batched
-            # stage evaluation, so stop as soon as all members converged
-            K, conv, _, _ = lax.while_loop(
-                newton_cond,
-                newton,
-                (K, jnp.zeros(Bsz, bool), jnp.full((Bsz,), jnp.inf, dtype),
-                 jnp.asarray(0, jnp.int32)),
-            )
-
-            y1 = y + h_eff[:, None] * jnp.einsum("j,bjn->bn", Bv, K)
-
-            # embedded error estimate smoothed by the real preconditioner
-            err_raw = h_eff[:, None] * (
-                jnp.einsum("j,bjn->bn", Bv - BHAT[1:], K) - BHAT[0] * f0
-            )
-            # smoothing entirely in f32: the estimate only gates the
-            # controller, ~1e-7 relative noise is irrelevant
-            e32 = err_raw.astype(f32)
-            err_s32 = jnp.einsum("bnm,bm->bn", Pr, e32, precision=_HI)
-            r_e = e32 - (err_s32 - (gamma * h_eff.astype(f32))[:, None] * jnp.einsum(
-                "bnm,bm->bn", J.astype(f32), err_s32, precision=_HI
-            ))
-            err_s = (err_s32 + jnp.einsum(
-                "bnm,bm->bn", Pr, r_e, precision=_HI
-            )).astype(dtype)
-
-            scale2 = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
-            err_norm = norm_b(err_s, scale2)
-            err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
-            err_norm = jnp.where(conv, err_norm, jnp.inf)
-
-            accept = (err_norm <= 1.0) & active
-            err_c = jnp.clip(err_norm, 1e-10, 1e10)
-            factor = jnp.clip(_SAFETY * err_c**_ORDER_EXP, _MIN_FACTOR, _MAX_FACTOR)
-            factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
-            # Newton failure: halve rather than floor -- a 0.5 step-ratio
-            # keeps the warm preconditioner well inside its basin
-            factor = jnp.where(conv, factor, 0.5)
-            clamped = h_eff < h
-            h_new = jnp.where(
-                accept & clamped, jnp.maximum(h, h_eff * factor), h_eff * factor
-            )
-            h_new = jnp.where(active, h_new, h)
-
-            t_new = jnp.where(accept, t + h_eff, t)
-            y_new = jnp.where(accept[:, None], y1, y)
-            f_cand = fB(t_new, y_new)
-            f_new = jnp.where(accept[:, None], f_cand, fval)
-
-            newton_bad_new = jnp.any(~conv & active)
-            st_new = EnsembleStats(
-                st.n_fev + jnp.where(active, 3 * newton_iters + 1, 0),
-                st.n_jev + n_jev_inc,
-                st.n_accepted + accept.astype(jnp.int32),
-                st.n_rejected + ((~accept) & active).astype(jnp.int32),
-            )
-            return (
-                (t_new, y_new, f_new, h_new, J, Pr, Pcr, Pci, since_j, newton_bad_new, st_new),
-                steps + 1,
-                t_end,
-            )
-
-        inner, steps, _ = lax.while_loop(
-            cond, body, (carry, jnp.asarray(0, jnp.int32), t_end)
+        inner, _chunks = lax.while_loop(
+            cond, body, (carry, jnp.asarray(0, jnp.int32))
         )
         return inner, inner[1]
 
@@ -459,10 +464,8 @@ def odeint_ensemble(
         Pr0,
         Pcr0,
         Pci0,
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(False),
         stats0,
     )
     carry, ys = lax.scan(segment, carry0, ts[1:])
     ys = jnp.concatenate([y0[None], ys], axis=0)
-    return ys, carry[10]
+    return ys, carry[8]
