@@ -28,6 +28,7 @@ ISO = homo.ISO_THERMAL
 _MODEL_IDS = {
     "M2": "dynamic packed-bed reactor, concentration variables",
     "M3": "batch reactor",
+    "M9": "dynamic packed-bed reactor, concentration + velocity march",
     "M5": "plug-flow heterogenous reactor",
     "M0": "plug-flow reactor",
     "M1": "packed bed reactor, steady-state, molar-flow variables",
@@ -400,7 +401,7 @@ def _run_m1(model_input, opts):
 # M2: dynamic packed-bed in dimensional concentration variables
 # ---------------------------------------------------------------------------
 
-def _run_m2(model_input, opts):
+def _run_m2(model_input, opts, model_id="M2"):
     sc = model_input.get("solver-config", {})
     spec = pb.build_spec(
         model_input,
@@ -409,7 +410,7 @@ def _run_m2(model_input, opts):
         times_no=int(sc.get("timesNo", 5)),
     )
     p = pb.build_params(model_input)
-    key = ("M2", spec.comp_list, spec.z_no, spec.t_no,
+    key = (model_id, spec.comp_list, spec.z_no, spec.t_no,
            tuple(model_input["reactions"].values()),
            id(model_input["reaction-rates"]["VARS"]),
            id(model_input["reaction-rates"]["RATES"]),
@@ -419,8 +420,12 @@ def _run_m2(model_input, opts):
         from ..ops.jacobian import colored_jacobian
         from ..solvers import stiff_ensemble
 
-        rhs = pb.make_m2_rhs(spec)
-        rhs_frozen = pb.make_m2_rhs(spec, frozen_pressure_jac=True)
+        if model_id == "M9":
+            rhs = pb.make_m9_rhs(spec)
+            rhs_frozen = pb.make_m9_rhs(spec, frozen_march_jac=True)
+        else:
+            rhs = pb.make_m2_rhs(spec)
+            rhs_frozen = pb.make_m2_rhs(spec, frozen_pressure_jac=True)
         jac_c = colored_jacobian(rhs_frozen, spec.n_comp + 1, spec.z_no)
 
         def run(pp):
@@ -747,8 +752,8 @@ def rmtExe(modelInput: Mapping[str, Any]):
         res_model = _run_pf(modelInput, _solver_options(modelInput))
     elif model_type == "M1":
         res_model = _run_m1(modelInput, _solver_options(modelInput))
-    elif model_type == "M2":
-        res_model = _run_m2(modelInput, _solver_options(modelInput))
+    elif model_type in ("M2", "M9"):
+        res_model = _run_m2(modelInput, _solver_options(modelInput), model_type)
     elif model_type == "M3":
         res_model = _run_batch(modelInput, _solver_options(modelInput))
     elif model_type == "M5":

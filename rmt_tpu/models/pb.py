@@ -369,3 +369,121 @@ def make_m4_rhs(spec: PBSpec):
         return jnp.concatenate([dC, dT[None], dP[None], dv[None]])
 
     return rhs
+
+
+def m9_initial_state(spec: PBSpec, p):
+    """Uniform fields at feed values (reference runM5, pbReactor.py:2090-2103)."""
+    return m2_initial_state(spec, p)
+
+
+def make_m9_rhs(spec: PBSpec, frozen_march_jac: bool = False):
+    """Dynamic concentration-based MoL RHS with coupled explicit pressure
+    AND velocity marches (reference id M9, modelEquationM5,
+    pbReactor.py:2296-2660). The velocity update needs the local reaction
+    rates, so the kinetics evaluate inside the axial scan (a genuine
+    sequential dependency in the reference formulation). Quirks kept:
+    kinetics receive kmol/m^3 concentrations without unit conversion; the
+    velocity equation mixes a x1000 CoSp with a x1000 OvR.
+    """
+    import jax
+
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    z_no = spec.z_no
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    mw = jnp.asarray(DB.MW[idx])
+    eq_idx = spec.stoich.eq_idx
+    eq_nu = jnp.asarray(spec.stoich.eq_nu)
+    dh25 = jnp.asarray(spec.stoich.dh_rxn_25)
+    var_no = n_comp + 1
+
+    def rhs(t, y, p):
+        dz = p["ReLe"] / (z_no - 1)
+        cr_se_ar = PI_CONST * p["ReInDi"] ** 2 / 4
+        eps = p["BeVoFr"]
+        in_ga_ve0 = p["VoFlRa0"] / (cr_se_ar * eps)
+        su_ga_ve0 = in_ga_ve0 * eps
+
+        Y = y.reshape(var_no, z_no)
+        c_raw = Y[:n_comp]
+        c_clamped = jnp.maximum(c_raw, EPS_CONST)
+        T_z = Y[n_comp]
+
+        co_sp = jnp.sum(c_clamped, axis=0)
+        mo_fri = c_clamped / co_sp
+        mi_mo_we = thermo.mixture_molecular_weight(mo_fri.T, mw, "kg/mol")
+
+        t_back = jnp.concatenate([p["T0"][None], T_z[:-1]])
+        dtdz = (T_z - t_back) / dz
+
+        if frozen_march_jac:
+            co_sp_m = jax.lax.stop_gradient(co_sp)
+            mi_mo_we_m = jax.lax.stop_gradient(mi_mo_we)
+            mo_fri_m = jax.lax.stop_gradient(mo_fri)
+            c_m = jax.lax.stop_gradient(c_clamped)
+            T_m = jax.lax.stop_gradient(T_z)
+            dtdz_m = jax.lax.stop_gradient(dtdz)
+        else:
+            co_sp_m, mi_mo_we_m, mo_fri_m, c_m, T_m, dtdz_m = (
+                co_sp, mi_mo_we, mo_fri, c_clamped, T_z, dtdz
+            )
+
+        erg_b = (1 - eps) ** 2 / eps**3
+        erg_d = (1 - eps) / eps**3
+        rate_fn = lambda T_, P_, mf_, sc_: spec.rates(
+            T_, P_, mf_, sc_, p["kinetic_overrides"]
+        )
+
+        def march(carry, x):
+            P, v = carry
+            co_sp_z, mimowe_z, mf_z, c_z, T_zz, dtdz_z = x
+            ga_de = mimowe_z * co_sp_z
+            erg_a = 150 * p["GaMiVi"] * v / p["PaDi"] ** 2
+            erg_c = 1.75 * ga_de * v**2 / p["PaDi"]
+            dP = -(erg_a * erg_b + erg_c * erg_d)
+            # kinetics at the marching pressure (kmol in, unconverted)
+            r0 = rate_fn(T_zz, P, mf_z, c_z)
+            ov_r = jnp.sum(r0 @ nu_comp)
+            dv = (1 / (co_sp_z * 1000)) * (
+                (-v / R_CONST) * ((1 / T_zz) * dP - (P / T_zz**2) * dtdz_z)
+                + ov_r * 1000
+            )
+            return (P + dP * dz, v + dv * dz), (P, v, dv, r0)
+
+        (_, _), (P_z, v_z, dv_z, r0_all) = jax.lax.scan(
+            march, (p["P0"], su_ga_ve0),
+            (co_sp_m, mi_mo_we_m, mo_fri_m.T, c_m.T, T_m, dtdz_m),
+        )
+        if frozen_march_jac:
+            # re-evaluate the kinetics outside the (gradient-frozen) march
+            # so the preconditioner Jacobian keeps the local reaction
+            # couplings while staying block-bidiagonal
+            r0_all = jax.vmap(rate_fn, in_axes=(0, 0, 0, 0))(
+                T_z, jax.lax.stop_gradient(P_z), mo_fri.T, c_clamped.T
+            )
+        r0 = r0_all.T                                # (n_rxn, zNo)
+        ri = jnp.einsum("mk,mz->kz", nu_comp, r0)
+
+        mo_fl = co_sp * v_z                          # [kmol/m^2.s]
+        cp_mean_i = thermo.cp_mean(T_z, idx)
+        cp_mix = jnp.sum(mo_fri.T * cp_mean_i, axis=-1)
+        en_ch = (thermo.cp_mean(T_z, eq_idx) @ eq_nu.T) * (T_z[:, None] - Tref)
+        ov_he_re_t = jnp.sum(r0.T * (en_ch + dh25), axis=-1)
+        qm = jnp.where(
+            p["Tm"] == 0, 0.0, 1e-3 * p["U"] * p["EfHeTrAr"] * (p["Tm"] - T_z)
+        )
+
+        const_f1 = 1 / eps
+        const_t1 = mo_fl * cp_mix
+        const_t2 = 1 / (co_sp * cp_mix * eps + (1 - eps) * p["CaDe"] * p["CaSpHeCa"])
+
+        c_in = p["SpCoi0"][:, None]
+        c_back = jnp.concatenate([c_in, c_clamped[:, :-1]], axis=1)
+        dcdz = (c_raw - c_back) / dz
+        dxdt_c = const_f1 * (-v_z * dcdz - c_raw * dv_z + ri)
+
+        dxdt_t = const_t2 * (-const_t1 * dtdz + (-ov_he_re_t + qm))
+
+        return jnp.concatenate([dxdt_c, dxdt_t[None]], axis=0).reshape(-1)
+
+    return rhs

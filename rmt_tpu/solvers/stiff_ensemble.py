@@ -102,7 +102,7 @@ def odeint_ensemble(
     ts,                     # (n_out,) shared output grid
     rtol=1e-7,
     atol=1e-10,
-    max_steps: int = 20_000,
+    max_steps: int = 1024,
     newton_iters: int = 8,
     j_every: int = 16,
     ns_refresh: int = 5,
@@ -288,18 +288,23 @@ def odeint_ensemble(
     def norm_b(v, scale):
         return jnp.sqrt(jnp.mean((v / scale) ** 2, axis=-1))
 
-    # Control-flow note (measured on the axon-tunneled TPU): lax.while_loop
-    # iterations cost ~1s each regardless of body size, while the same body
-    # under lax.scan costs ~10ms -- the tunnel appears to synchronize per
-    # while iteration. The stepper therefore runs CHUNKS of a static number
-    # of masked attempts under lax.scan, with one coarse early-exit
-    # while_loop per output segment whose iteration count is ~n_attempts/16.
+    # Control-flow note (measured on the axon-tunneled TPU): while_loop
+    # iterations cost ~1s each (apparent per-iteration host sync of the
+    # carry), while the identical body under lax.scan costs ~10ms. The
+    # integrator is therefore a FIXED budget of scan chunks with no
+    # while_loop anywhere: members carry their own output-segment pointer,
+    # write boundary states into the output buffer by masked scatter, and
+    # idle (masked) once finished. max_steps is the total attempt budget.
+    n_out = ts.shape[0]
     chunk = 16
 
     def attempt(state, _):
-        t, y, fval, h, J, Pr, Pcr, Pci, st, t_end = state
-        active = t < t_end
+        t, y, fval, h, J, Pr, Pcr, Pci, seg, out, st = state
+        seg_c = jnp.minimum(seg + 1, n_out - 1)
+        t_end = ts[seg_c]                               # (B,)
+        active = seg < (n_out - 1)
         h_eff = jnp.where(active, jnp.minimum(h, t_end - t), h)
+        h_eff = jnp.maximum(h_eff, 1e-300)
         J64 = J.astype(dtype)
 
         # warm preconditioner maintenance every attempt (h drift <= 1.4x)
@@ -318,9 +323,6 @@ def odeint_ensemble(
             )
             F = stage_eval(t, h_eff, Y)
             R = F - K
-            # equation residual in step-error units (guards against a
-            # silently-bad preconditioner making increments tiny while the
-            # system stays unsolved)
             rn_new = norm_b(
                 (h_eff[:, None] * R.reshape(Bsz, -1)),
                 jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
@@ -328,14 +330,12 @@ def odeint_ensemble(
             rn_new = jnp.where(jnp.isfinite(rn_new), rn_new, jnp.inf)
             dK = solve(R, h_eff, J64, Pr, Pcr, Pci)
             K_new = K + jnp.where(done[:, None, None], 0.0, dK)
-            # convergence is measured on the *stage value* increment h*dK
-            # (the criterion classic Radau codes apply to Z = h*K)
+            # convergence measured on the stage-value increment h*dK
             dn_new = norm_b(
                 (h_eff[:, None] * dK.reshape(Bsz, -1)),
                 jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
             )
             dn_new = jnp.where(jnp.isfinite(dn_new), dn_new, jnp.inf)
-            # floor from hardware RHS noise: h*dK cannot beat h*noise*|K|
             floor = rhs_noise * norm_b(
                 (h_eff[:, None] * K.reshape(Bsz, -1)),
                 jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
@@ -354,15 +354,12 @@ def odeint_ensemble(
             length=newton_iters,
         )
         # certify the linear solves: a silently-bad preconditioner makes
-        # Newton increments tiny while the system stays unsolved, so require
-        # the Newton-Schulz residual ||I - M P||_F/sqrt(n) to be small and
-        # the final equation residual finite
+        # Newton increments tiny while the system stays unsolved
         conv = conv & (rho < 0.5) & jnp.isfinite(res_n)
 
         y1 = y + h_eff[:, None] * jnp.einsum("j,bjn->bn", Bv, K)
 
-        # embedded error estimate smoothed by the real preconditioner,
-        # entirely in f32 (it only gates the controller)
+        # embedded error estimate smoothed by the real preconditioner (f32)
         err_raw = h_eff[:, None] * (
             jnp.einsum("j,bjn->bn", Bv - BHAT[1:], K) - BHAT[0] * f0
         )
@@ -384,8 +381,6 @@ def odeint_ensemble(
         err_c = jnp.clip(err_norm, 1e-10, 1e10)
         factor = jnp.clip(_SAFETY * err_c**_ORDER_EXP, _MIN_FACTOR, _MAX_FACTOR)
         factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
-        # Newton failure: halve rather than floor -- a 0.5 step-ratio keeps
-        # the warm preconditioner well inside its basin
         factor = jnp.where(conv, factor, 0.5)
         clamped = h_eff < h
         h_new = jnp.where(
@@ -398,47 +393,39 @@ def odeint_ensemble(
         f_cand = fB(t_new, y_new)
         f_new = jnp.where(accept[:, None], f_cand, fval)
 
+        # segment-boundary crossing: record the state, advance the pointer
+        crossed = accept & (t_new >= t_end * (1 - 1e-14) - 1e-300)
+        onehot = (jnp.arange(1, n_out)[:, None] == seg_c[None, :]) & crossed[None, :]
+        out = jnp.where(onehot[:, :, None], y_new[None, :, :], out)
+        seg_new = seg + crossed.astype(jnp.int32)
+
         st_new = EnsembleStats(
             st.n_fev + jnp.where(active, 3 * newton_iters + 1, 0),
             st.n_jev,
             st.n_accepted + accept.astype(jnp.int32),
             st.n_rejected + ((~accept) & active).astype(jnp.int32),
         )
-        return (t_new, y_new, f_new, h_new, J, Pr, Pcr, Pci, st_new, t_end), None
+        return (t_new, y_new, f_new, h_new, J, Pr, Pcr, Pci, seg_new, out, st_new), None
 
-    def segment(carry, t_end):
-        max_chunks = max(max_steps // chunk, 1)
-
-        def cond(state):
-            (t, *_), chunks = state
-            return jnp.any(t < t_end) & (chunks < max_chunks)
-
-        def body(state):
-            (t, y, fval, h, J, Pr, Pcr, Pci, st), chunks = state
-            # refresh the Jacobian once per chunk (h can grow <= 1.4^16
-            # within the chunk; the warm per-attempt Newton-Schulz tracks it)
-            J = jacB(t, y).astype(f32)
-            # reset any non-finite preconditioner to the safe cold seed
-            Pr0c, Pcr0c, Pci0c = ns_cold_start(h, J)
-            bad = ~jnp.all(
-                jnp.isfinite(Pr) & jnp.isfinite(Pcr) & jnp.isfinite(Pci),
-                axis=(-1, -2),
-            )
-            Pr = jnp.where(bad[:, None, None], Pr0c, Pr)
-            Pcr = jnp.where(bad[:, None, None], Pcr0c, Pcr)
-            Pci = jnp.where(bad[:, None, None], Pci0c, Pci)
-            Pr, Pcr, Pci, _ = ns_update(Pr, Pcr, Pci, h, J, ns_refresh)
-            st = st._replace(n_jev=st.n_jev + 1)
-
-            inner0 = (t, y, fval, h, J, Pr, Pcr, Pci, st, t_end)
-            inner, _ = lax.scan(attempt, inner0, None, length=chunk)
-            t, y, fval, h, J, Pr, Pcr, Pci, st, _ = inner
-            return (t, y, fval, h, J, Pr, Pcr, Pci, st), chunks + 1
-
-        inner, _chunks = lax.while_loop(
-            cond, body, (carry, jnp.asarray(0, jnp.int32))
+    def chunk_body(state, _):
+        t, y, fval, h, J, Pr, Pcr, Pci, seg, out, st = state
+        # refresh the Jacobian once per chunk; h grows <= 1.4^16 within it
+        J = jacB(t, y).astype(f32)
+        # reset any non-finite preconditioner to the safe cold seed
+        Pr0c, Pcr0c, Pci0c = ns_cold_start(h, J)
+        bad = ~jnp.all(
+            jnp.isfinite(Pr) & jnp.isfinite(Pcr) & jnp.isfinite(Pci),
+            axis=(-1, -2),
         )
-        return inner, inner[1]
+        Pr = jnp.where(bad[:, None, None], Pr0c, Pr)
+        Pcr = jnp.where(bad[:, None, None], Pcr0c, Pcr)
+        Pci = jnp.where(bad[:, None, None], Pci0c, Pci)
+        Pr, Pcr, Pci, _ = ns_update(Pr, Pcr, Pci, h, J, ns_refresh)
+        st = st._replace(n_jev=st.n_jev + 1)
+
+        state = (t, y, fval, h, J, Pr, Pcr, Pci, seg, out, st)
+        state, _ = lax.scan(attempt, state, None, length=chunk)
+        return state, None
 
     # --- initialization ---
     f0 = fB(jnp.full((Bsz,), ts[0], dtype), y0)
@@ -449,23 +436,31 @@ def odeint_ensemble(
     span = ts[-1] - ts[0]
     h0 = jnp.minimum(0.05 / (abs(gamma) * j_norm + 1e-30), 1e-3 * span)
     eyeB = jnp.tile(jnp.eye(n, dtype=f32)[None], (Bsz, 1, 1))
-    Pr0 = eyeB
-    Pcr0 = eyeB
-    Pci0 = jnp.zeros_like(eyeB)
 
     zero_b = jnp.zeros(Bsz, jnp.int32)
     stats0 = EnsembleStats(zero_b + 1, jnp.asarray(1, jnp.int32), zero_b, zero_b)
-    carry0 = (
+    out0 = jnp.zeros((n_out - 1, Bsz, n), dtype)
+    state0 = (
         jnp.full((Bsz,), ts[0], dtype),
         y0,
         f0,
         h0,
         J0,
-        Pr0,
-        Pcr0,
-        Pci0,
+        eyeB,
+        eyeB,
+        jnp.zeros_like(eyeB),
+        zero_b,
+        out0,
         stats0,
     )
-    carry, ys = lax.scan(segment, carry0, ts[1:])
-    ys = jnp.concatenate([y0[None], ys], axis=0)
-    return ys, carry[8]
+    n_chunks = max(max_steps // chunk, 1)
+    state, _ = lax.scan(chunk_body, state0, None, length=n_chunks)
+    seg_final = state[8]
+    stats = state[10]
+    # members that exhausted the budget keep their final integrated state
+    # in the remaining output slots (detectable via stats/n_accepted)
+    out = state[9]
+    onehot_tail = jnp.arange(1, n_out)[:, None] > seg_final[None, :]
+    out = jnp.where(onehot_tail[:, :, None], state[1][None, :, :], out)
+    ys = jnp.concatenate([y0[None], out], axis=0)
+    return ys, stats
