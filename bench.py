@@ -15,7 +15,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
-B = int(os.environ.get("RMT_BENCH_B", "4096"))
+B = int(os.environ.get("RMT_BENCH_B", "512"))
 REFERENCE_PATH = "/root/reference"
 
 
@@ -60,16 +60,16 @@ def main():
 
     mi = make_model_input(model="N2")
 
-    # the tunneled TPU runtime has crashed at very large batches before;
+    # the tunneled TPU runtime has crashed at batches >= 1024 before;
     # walk down until a size completes
-    candidates = [B, B // 4, B // 16, 64]
+    candidates = [B, max(B // 2, 64), max(B // 8, 64), 64]
     result = None
     for b in candidates:
         try:
             sweep = {"T0": jnp.asarray(523.0 + np.linspace(-5.0, 5.0, b))}
 
             def run_once():
-                ys, stats = run_n2_ensemble_lockstep(mi, sweep)
+                ys, stats = run_n2_ensemble_lockstep(mi, sweep, max_steps=512)
                 np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
                 return ys, stats
 

@@ -103,10 +103,10 @@ def odeint_ensemble(
     rtol=1e-7,
     atol=1e-10,
     max_steps: int = 1024,
-    newton_iters: int = 8,
+    newton_iters: int = 6,
     j_every: int = 16,
     ns_refresh: int = 5,
-    ns_step: int = 2,
+    ns_step: int = 1,
     jac=None,
     batched: bool = False,
     rhs_noise: float | None = None,
