@@ -190,10 +190,13 @@ def odeint_ensemble(
         h32 = h.astype(f32)[:, None, None]
 
         def mp(Pr, Pcr, Pci):
-            JP = _mm(J, Pr)
+            # one batched kernel for all three J-products (kernel-count
+            # matters more than flops on the tunneled TPU)
+            JP3 = jnp.matmul(
+                J[:, None], jnp.stack([Pr, Pcr, Pci], axis=1), precision=_HI
+            )
+            JP, JPr, JPi = JP3[:, 0], JP3[:, 1], JP3[:, 2]
             MPr_r = Pr - (gamma * h32) * JP
-            JPr = _mm(J, Pcr)
-            JPi = _mm(J, Pci)
             MPc_r = Pcr - h32 * (mu_r * JPr - mu_i * JPi)
             MPc_i = Pci - h32 * (mu_r * JPi + mu_i * JPr)
             return MPr_r, MPc_r, MPc_i
@@ -201,10 +204,13 @@ def odeint_ensemble(
         def it2(carry, _):
             Pr, Pcr, Pci = carry
             MPr_r, MPc_r, MPc_i = mp(Pr, Pcr, Pci)
-            Pr_new = 2 * Pr - _mm(Pr, MPr_r)
-            PMr, PMi = _cmatmul(Pcr, Pci, MPc_r, MPc_i)
-            Pcr_new = 2 * Pcr - PMr
-            Pci_new = 2 * Pci - PMi
+            # pack the five P@M products into one batched matmul
+            lhs = jnp.stack([Pr, Pcr, Pci, Pcr, Pci], axis=1)
+            rhs_ = jnp.stack([MPr_r, MPc_r, MPc_i, MPc_i, MPc_r], axis=1)
+            prod = jnp.matmul(lhs, rhs_, precision=_HI)
+            Pr_new = 2 * Pr - prod[:, 0]
+            Pcr_new = 2 * Pcr - (prod[:, 1] - prod[:, 2])
+            Pci_new = 2 * Pci - (prod[:, 3] + prod[:, 4])
             return (Pr_new, Pcr_new, Pci_new), None
 
         (Pr, Pcr, Pci), _ = lax.scan(it2, (Pr, Pcr, Pci), None, length=k)
@@ -261,15 +267,15 @@ def odeint_ensemble(
         Wi = jnp.einsum("ij,bjn->bin", Tii, R)
         R32r = Wr.astype(f32)
         R32i = Wi.astype(f32)
-        # stage 0: real solve
-        Z0 = jnp.einsum("bnm,bm->bn", Pr, R32r[:, 0], precision=_HI)
-        # stage 1: complex solve
-        Z1r = jnp.einsum("bnm,bm->bn", Pcr, R32r[:, 1], precision=_HI) - jnp.einsum(
-            "bnm,bm->bn", Pci, R32i[:, 1], precision=_HI
+        # all five preconditioner matvecs in one batched kernel
+        mats = jnp.stack([Pr, Pcr, Pci, Pcr, Pci], axis=1)
+        vecs = jnp.stack(
+            [R32r[:, 0], R32r[:, 1], R32i[:, 1], R32i[:, 1], R32r[:, 1]], axis=1
         )
-        Z1i = jnp.einsum("bnm,bm->bn", Pcr, R32i[:, 1], precision=_HI) + jnp.einsum(
-            "bnm,bm->bn", Pci, R32r[:, 1], precision=_HI
-        )
+        zs = jnp.einsum("bknm,bkm->bkn", mats, vecs, precision=_HI)
+        Z0 = zs[:, 0]
+        Z1r = zs[:, 1] - zs[:, 2]
+        Z1i = zs[:, 3] + zs[:, 4]
         # stage 2 = conj(stage 1)
         Zr = jnp.stack([Z0, Z1r, Z1r], axis=1).astype(dtype)
         Zi = jnp.stack([jnp.zeros_like(Z0), Z1i, -Z1i], axis=1).astype(dtype)
