@@ -43,7 +43,7 @@ def measure_reference_seconds(model_input_factory) -> float:
         return best
     except Exception as e:  # pragma: no cover - bench robustness
         print(f"# reference unavailable ({e}); using recorded baseline", file=sys.stderr)
-        return 2.1  # measured on this image, 2026-08
+        return 1.0  # conservative fallback; measured live when possible
 
 
 def main():
