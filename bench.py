@@ -12,10 +12,20 @@ import os
 import sys
 import time
 
+# f32 mode by default: the whole integration runs in float32 with true-f32
+# matmuls (config.py forces jax_default_matmul_precision=highest), ~10x
+# faster than TPU-emulated f64 and accurate to ~2e-6 vs a converged f64 run
+# at the tolerances below -- far tighter than the reference's LSODA defaults
+# (rtol=1e-3). Set RMT_TPU_X64=1 for the f64 path (<=3e-7 accuracy).
+os.environ.setdefault("RMT_TPU_X64", "0")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
-B = int(os.environ.get("RMT_BENCH_B", "512"))
+B = int(os.environ.get("RMT_BENCH_B", "1024"))
+X64 = os.environ["RMT_TPU_X64"] != "0"
+# f32 resolution floors the usable tolerance; f64 reproduces the reference
+RTOL, ATOL = (1e-7, 1e-10) if X64 else (1e-5, 1e-7)
 REFERENCE_PATH = "/root/reference"
 
 
@@ -69,7 +79,9 @@ def main():
             sweep = {"T0": jnp.asarray(523.0 + np.linspace(-5.0, 5.0, b))}
 
             def run_once():
-                ys, stats = run_n2_ensemble_lockstep(mi, sweep, max_steps=512)
+                ys, stats = run_n2_ensemble_lockstep(
+                    mi, sweep, max_steps=768, rtol=RTOL, atol=ATOL
+                )
                 np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
                 return ys, stats
 
@@ -79,6 +91,9 @@ def main():
             t_ens = time.perf_counter() - t0
             assert bool(jnp.all(jnp.isfinite(ys[-1])))
             assert int(jnp.min(stats.n_accepted)) > 0
+            n_out = ys.shape[0]
+            unfinished = int(jnp.sum(stats.seg < n_out - 1))
+            assert unfinished == 0, f"{unfinished}/{b} members exhausted the budget"
             result = (b, t_ens)
             break
         except Exception as e:  # pragma: no cover - bench robustness

@@ -18,6 +18,14 @@ def setup(x64: bool | None = None) -> None:
     if x64 is None:
         x64 = os.environ.get("RMT_TPU_X64", "1") != "0"
     jax.config.update("jax_enable_x64", bool(x64))
+    if not x64:
+        # TPU lowers default-precision f32 matmuls to bf16 passes (4e-3
+        # relative error). In whole-program f32 mode that noise enters the
+        # Radau stage construction and the MoL stencil products, exceeds the
+        # Newton convergence floor, and collapses the step size (measured:
+        # frozen trajectories on v5e). True-f32 matmuls fix it at ~2x the
+        # bf16 matmul cost -- still ~10x faster end-to-end than emulated f64.
+        jax.config.update("jax_default_matmul_precision", "highest")
     _CONFIGURED = True
 
 

@@ -78,6 +78,8 @@ class EnsembleStats(NamedTuple):
     n_jev: jnp.ndarray        # scalar: global Jacobian refreshes
     n_accepted: jnp.ndarray   # (B,)
     n_rejected: jnp.ndarray   # (B,)
+    seg: jnp.ndarray          # (B,) final output-segment pointer; a member is
+                              # fully integrated iff seg == len(ts) - 1
 
 
 _HI = jax.lax.Precision.HIGHEST
@@ -126,8 +128,6 @@ def odeint_ensemble(
     nominal tolerance. Defaults per backend.
     Returns (ys, stats) with ys of shape (n_out, B, n); ys[0] == y0.
     """
-    if rhs_noise is None:
-        rhs_noise = 4e-8 if jax.default_backend() == "tpu" else 1e-14
     if args is not None:
         f_ = lambda t, y: f(t, y, *args)
     else:
@@ -137,6 +137,13 @@ def odeint_ensemble(
     Bsz, n = y0.shape
     dtype = y0.dtype
     f32 = jnp.float32
+    if rhs_noise is None:
+        if dtype == jnp.float32:
+            rhs_noise = 2e-6        # f32 evaluation noise incl. accumulation
+        elif jax.default_backend() == "tpu":
+            rhs_noise = 4e-8        # TPU-emulated f64 transcendentals
+        else:
+            rhs_noise = 1e-14
     ts = jnp.asarray(ts, dtype)
     rtol = jnp.asarray(rtol, dtype)
     atol = jnp.asarray(atol, dtype)
@@ -400,7 +407,10 @@ def odeint_ensemble(
         f_new = jnp.where(accept[:, None], f_cand, fval)
 
         # segment-boundary crossing: record the state, advance the pointer
-        crossed = accept & (t_new >= t_end * (1 - 1e-14) - 1e-300)
+        # (tolerance scaled to the working dtype: clamped steps land within
+        # a few ulps of the boundary)
+        eps_t = 8 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t_end), 1.0)
+        crossed = accept & (t_new >= t_end - eps_t)
         onehot = (jnp.arange(1, n_out)[:, None] == seg_c[None, :]) & crossed[None, :]
         out = jnp.where(onehot[:, :, None], y_new[None, :, :], out)
         seg_new = seg + crossed.astype(jnp.int32)
@@ -410,6 +420,7 @@ def odeint_ensemble(
             st.n_jev,
             st.n_accepted + accept.astype(jnp.int32),
             st.n_rejected + ((~accept) & active).astype(jnp.int32),
+            seg_new,
         )
         return (t_new, y_new, f_new, h_new, J, Pr, Pcr, Pci, seg_new, out, st_new), None
 
@@ -444,7 +455,8 @@ def odeint_ensemble(
     eyeB = jnp.tile(jnp.eye(n, dtype=f32)[None], (Bsz, 1, 1))
 
     zero_b = jnp.zeros(Bsz, jnp.int32)
-    stats0 = EnsembleStats(zero_b + 1, jnp.asarray(1, jnp.int32), zero_b, zero_b)
+    stats0 = EnsembleStats(zero_b + 1, jnp.asarray(1, jnp.int32), zero_b, zero_b,
+                           zero_b)
     out0 = jnp.zeros((n_out - 1, Bsz, n), dtype)
     state0 = (
         jnp.full((Bsz,), ts[0], dtype),

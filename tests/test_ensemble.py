@@ -127,3 +127,46 @@ def test_estimation_gradient_descends():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert all(np.isfinite(losses))
+
+
+def test_lockstep_f32_mode_subprocess():
+    """Whole-program float32 mode (RMT_TPU_X64=0): the lockstep integrator
+    must finish within budget and land within ~1e-5 of the f64 solution.
+
+    Runs in a subprocess because x64 is a process-level JAX config. Guards
+    the f32 regression found on TPU v5e where default-precision f32 matmuls
+    lower to bf16 and collapse the step controller (config.py forces
+    jax_default_matmul_precision=highest in f32 mode)."""
+    import subprocess
+    import sys as _sys
+
+    code = """
+import sys, os
+os.environ["RMT_TPU_X64"] = "0"
+sys.path.insert(0, %r); sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+import rmt_tpu
+assert jax.config.jax_default_matmul_precision == "highest"
+from rmt_tpu.parallel import run_n2_ensemble_lockstep
+from dme_case import make_model_input
+mi = make_model_input(model="N2")
+sweep = {"T0": jnp.asarray([523.0, 528.0])}
+ys, st = run_n2_ensemble_lockstep(mi, sweep, max_steps=512, rtol=1e-5, atol=1e-7)
+assert jnp.all(jnp.isfinite(ys)), "non-finite states"
+att = np.asarray(st.n_accepted + st.n_rejected)
+assert att.max() < 512, f"budget exhausted: {att}"
+# T profile must have actually evolved (the bf16 bug froze it near 0)
+assert float(ys[-1, 0, -1]) > 0.05, float(ys[-1, 0, -1])
+print("F32_OK", float(ys[-1, 0, -1]))
+"""
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, "-c", code % (repo, _os.path.join(repo, "tests"))],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "F32_OK" in r.stdout
