@@ -39,6 +39,7 @@ _MODEL_IDS = {
     "T2": "steady-state catalyst particle diffusion-reaction",
     "N1": "steady-state homogenous packed bed reactor non-isothermal plug-flow",
     "N2": "dynamic homogenous packed bed reactor non-isothermal plug-flow",
+    "T3": "steady-state pseudo-homogeneous packed bed with axial dispersion",
 }
 
 _SOLVER_SETTING = {
@@ -740,6 +741,70 @@ def _run_t2(model_input, opts):
     return {"XYList": xy_list, "dataList": data_list, "dataPack": data_pack}
 
 
+def _run_t3(model_input, opts):
+    """Steady axial-dispersion pseudo-homogeneous model (reference:
+    examples/homoModels.py runT1; registered as T3Init in rmtCore.py:440 but
+    unreachable through the reference dispatcher -- routed here).
+
+    Solved by pseudo-transient continuation (Radau to a large pseudo-time)
+    followed by a damped-Newton polish; the reference's fsolve from the
+    0.5/0.25 flat guess diverges for strongly exothermic cases.
+    """
+    from ..solvers import newton, radau
+
+    z_no = int(model_input.get("solver-config", {}).get("zNo", 10))
+    spec = homo.build_spec(model_input, z_no=z_no)
+    p = homo.t3_params(model_input)
+    key = ("T3", spec.comp_list, spec.iso_thermal, spec.z_no,
+           id(model_input["reaction-rates"]["VARS"]), jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        res_fn = homo.make_t3_residual(spec)
+
+        def run(pp):
+            d = homo.t3_feed(spec, pp)
+            c_in = (pp["SpCoi0"] / d["Cmax"])[:, None] * jnp.ones((1, spec.z_no))
+            rows = [c_in]
+            if not spec.iso_thermal:
+                rows.append(jnp.zeros((1, spec.z_no), c_in.dtype))
+            y0 = jnp.concatenate(rows, axis=0).reshape(-1)
+            # pseudo-transient continuation to the attractor of F
+            ys, _ = radau.odeint(
+                lambda t, y: res_fn(y, pp, d),
+                y0, jnp.asarray([0.0, 20.0], y0.dtype), rtol=1e-6, atol=1e-9,
+            )
+            sol = newton.root(lambda y: res_fn(y, pp, d), ys[-1],
+                              max_iter=50, tol=1e-8)
+            return sol.x, sol.converged, sol.residual_norm
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+    x, converged, res_norm = runner(p)
+    if not bool(converged):
+        raise RuntimeError(f"T3 root solve did not converge (|F|={float(res_norm):.2e})")
+
+    n_layer = spec.n_comp + (0 if spec.iso_thermal else 1)
+    resh = np.asarray(x).reshape(n_layer, spec.z_no)
+    c_dl = resh[: spec.n_comp]
+    theta = resh[spec.n_comp] if not spec.iso_thermal else np.zeros(spec.z_no)
+    c_max = float(np.max(np.asarray(model_input["feed"]["concentration"])))
+    conc_re = c_dl * c_max                              # MAX-mode real values
+    temp_re = (1.0 + theta) * float(model_input["operating-conditions"]["temperature"])
+    mo_fri = conc_re / np.sum(conc_re, axis=0, keepdims=True)
+    data_xs = np.linspace(0.0, 1.0, spec.z_no)
+    label_list = list(spec.comp_list) + ["Temperature"]
+    data_y = np.concatenate([mo_fri, temp_re[None]], axis=0)
+    xy_list = [[data_xs, row] for row in data_y]
+    data_list = [
+        {"x": data_xs, "y": xy[1], "leg": leg} for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Reactor Length (m)", "Concentration (mol/m^3)")
+    return {"dataYs": data_y, "XYList": xy_list, "dataList": data_list}
+
+
 # ---------------------------------------------------------------------------
 
 def rmtExe(modelInput: Mapping[str, Any]):
@@ -764,6 +829,8 @@ def rmtExe(modelInput: Mapping[str, Any]):
         res_model = _run_t1(modelInput, _solver_options(modelInput))
     elif model_type == "T2":
         res_model = _run_t2(modelInput, _solver_options(modelInput))
+    elif model_type == "T3":
+        res_model = _run_t3(modelInput, _solver_options(modelInput))
     elif model_type in ("N1", "N2"):
         spec = homo.build_spec(modelInput)
         opts = _solver_options(modelInput)

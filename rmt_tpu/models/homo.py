@@ -401,3 +401,192 @@ def make_n2_colored_jacobian(spec: HomoSpec):
         return jv[colors_j, :].T * mask_j.astype(y.dtype)
 
     return jac
+
+
+# ---------------------------------------------------------------------------
+# T3: steady axial-dispersion pseudo-homogeneous model, posed as a nonlinear
+# root problem F(y) = 0 and solved by damped Newton.
+#
+# Reference: PyREMOT/examples/homoModels.py:49-539 (runT1 driver) and
+# :540-1421 (modelEquationT1). The reference registers it as T3Init
+# (rmtCore.py:440-449) but the model dispatcher never routes "T3", so the
+# code path is unreachable there; here it is a first-class model. Only the
+# uniform-mesh branch (solver-config mesh == "normal") is implemented; the
+# refined two-zone mesh exists in ops/stencils.two_zone_mesh for later.
+# ---------------------------------------------------------------------------
+
+def t3_params(model_input: Mapping[str, Any]) -> dict[str, Any]:
+    """build_params + the transport feed fields T3 needs
+    (homoModels.py:105-134)."""
+    p = build_params(model_input)
+    feed = model_input["feed"]
+    ex_he = model_input.get("external-heat", {"OvHeTrCo": 0.0, "EfHeTrAr": 0.0, "MeTe": 0.0})
+    f = lambda x: jnp.asarray(x, dtype=jnp.result_type(float))
+    p.update(
+        {
+            # vf: the user-given superficial velocity (homoModels.py:113,294)
+            "vf": f(feed["superficial-velocity"]),
+            "GaDii0": f(np.asarray(feed["diffusivity"], dtype=np.float64)),
+            "GaThCoMix0": f(feed["mixture-thermal-conductivity"]),
+            "GaViMix0": f(feed["mixture-viscosity"]),
+            # T3 uses the user's heat-transfer area as given -- unlike
+            # N1/N2's 4/ReInDi quirk (homoModels.py:1099-1104)
+            "EfHeTrAr": f(ex_he["EfHeTrAr"]),
+        }
+    )
+    return p
+
+
+def t3_feed(spec: HomoSpec, p: Mapping[str, Any]) -> dict[str, Any]:
+    """Feed scales for T3 (homoModels.py:280-340).
+
+    Differences vs feed_state (the N-models): SpCoi0 is taken in kmol/m^3
+    and density uses SpCo0*1000; the heat convective scale carries a 1e-3
+    (kJ) factor; Peclet numbers appear because of the dispersion terms.
+    """
+    idx = spec.comp_idx
+    mw = jnp.asarray(DB.MW[idx])
+    cr_se_ar = PI_CONST * p["ReInDi"] ** 2 / 4
+    sp_coi0 = p["SpCoi0"]
+    sp_co0 = jnp.sum(sp_coi0)
+    mo_fri0 = sp_coi0 / sp_co0
+    mi_mo_we0 = thermo.mixture_molecular_weight(mo_fri0, mw, "kg/mol")
+    ga_de0 = thermo.density_ig(mi_mo_we0, sp_co0 * 1000.0)
+    cp_mean0 = thermo.cp_mean(p["T0"], idx)
+    cp_mix0 = thermo.cp_mix(mo_fri0, cp_mean0)
+
+    c_max = jnp.max(sp_coi0)
+    vf = p["vf"]
+    zf = p["ReLe"]
+    # MAX-mode scalar mass scale (homoModels.py:304-307)
+    ga_ma_co_te0 = (vf / zf) * c_max
+    # heat convective scale in kJ (homoModels.py:310)
+    ga_he_co_te0 = (ga_de0 * vf * p["T0"] * (cp_mix0 / mi_mo_we0) / zf) * 1e-3
+    pe_ma0 = vf * zf / p["GaDii0"]                     # (n_comp,)
+    pe_he0 = zf * ga_de0 * (cp_mix0 / mi_mo_we0) * vf / p["GaThCoMix0"]
+    # the momentum/velocity quirk pair (homoModels.py:928,1141): the Ergun
+    # equation uses VoFlRa0/CrSeAr while convection uses its ratio to the
+    # user's vf
+    su_ga_ve0 = p["VoFlRa0"] / cr_se_ar
+    return {
+        "mw": mw,
+        "Cmax": c_max,
+        "MiMoWe0": mi_mo_we0,
+        "GaDe0": ga_de0,
+        "GaCpMeanMix0": cp_mix0,
+        "GaMaCoTe0": ga_ma_co_te0,
+        "GaHeCoTe0": ga_he_co_te0,
+        "PeNuMa0": pe_ma0,
+        "PeNuHe0": pe_he0,
+        "SuGaVe0eq": su_ga_ve0,
+        "vDl": su_ga_ve0 / vf,
+    }
+
+
+def t3_initial_guess(spec: HomoSpec) -> jnp.ndarray:
+    """Flat initial iterate: C* = 0.5, theta = 0.25 (homoModels.py:235-258)."""
+    n_layer = spec.n_comp + (0 if spec.iso_thermal else 1)
+    g = jnp.full((n_layer, spec.z_no), 0.5, jnp.result_type(float))
+    if not spec.iso_thermal:
+        g = g.at[-1].set(0.25)
+    return g.reshape(-1)
+
+
+def make_t3_residual(spec: HomoSpec):
+    """Steady residual F(y) of the axial-dispersion model, vectorized over
+    the z nodes (mirrors modelEquationT1, homoModels.py:540-1421).
+
+    Stencils (uniform mesh, solverSetting['T1']: dFdz=BD, d2Fdz2=CD):
+      * first derivative: backward difference everywhere;
+      * second derivative: central, with a Danckwerts ghost node at the
+        inlet (homoModels.py:1158-1177) and a zero-gradient mirror at the
+        outlet (homoModels.py:1240-1256);
+      * the raw (unclamped) state feeds the stencils while kinetics and
+        properties see EPS-clamped concentrations (homoModels.py:885-894).
+    The Ergun pressure march has no P feedback (unlike N2), so it is a pure
+    prefix sum.
+    """
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    z_no = spec.z_no
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    n_layer = n_comp + (0 if spec.iso_thermal else 1)
+    dz = 1.0 / (z_no - 1)
+
+    def residual(y, p, d):
+        Y = y.reshape(n_layer, z_no)
+        c_raw = Y[:n_comp]
+        T_dl = Y[n_comp] if not spec.iso_thermal else jnp.zeros((z_no,), y.dtype)
+
+        c_cl = jnp.maximum(c_raw, EPS_CONST)
+        co_spi_re = c_cl * d["Cmax"]                    # (n_comp, zNo) kmol/m^3
+        co_sp_re = jnp.sum(co_spi_re, axis=0)
+        T_re = T_dl * p["T0"] + p["T0"]
+        mo_fri = co_spi_re / co_sp_re
+        mi_mo_we = thermo.mixture_molecular_weight(mo_fri.T, d["mw"], "kg/mol")
+        ga_de = thermo.density_ig(mi_mo_we, co_sp_re * 1000.0)
+        ga_de_dl = ga_de / d["GaDe0"]
+
+        # Ergun march, no P feedback -> prefix sum (homoModels.py:950-966)
+        eps = p["BeVoFr"]
+        su0 = d["SuGaVe0eq"]
+        erg_a = 150 * p["GaViMix0"] * su0 / p["PaDi"] ** 2
+        erg_b = (1 - eps) ** 2 / eps**3
+        erg_c = 1.75 * ga_de * su0**2 / p["PaDi"]       # (zNo,)
+        erg_d = (1 - eps) / eps**3
+        rhs_erg = -(erg_a * erg_b + erg_c * erg_d)
+        P_z = p["P0"] + dz * jnp.concatenate(
+            [jnp.zeros((1,), rhs_erg.dtype), jnp.cumsum(rhs_erg[:-1])]
+        )
+
+        # kinetics batched over nodes (homoModels.py:1023-1037)
+        rate_fn = lambda T_, P_, mf_, sc_: spec.rates(
+            T_, P_, mf_, sc_, p["kinetic_overrides"]
+        )
+        r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1, 1), out_axes=1)(
+            T_re, P_z, mo_fri, co_spi_re
+        )                                               # (n_rxn, zNo)
+        ri = jnp.einsum("mk,mz->kz", nu_comp, r0)
+
+        cp_mean_i = thermo.cp_mean(T_re, idx)
+        cp_mix = jnp.sum(mo_fri.T * cp_mean_i, axis=-1)
+        cp_mix_dl = cp_mix / d["GaCpMeanMix0"]
+        he_re_t = _reaction_energetics(spec, T_re)
+        ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1)
+        # Qm in kJ/m^3.s with the user's EfHeTrAr (homoModels.py:1099-1112)
+        qm = _heat_exchange(p["Tm"], T_re, p["U"], p["EfHeTrAr"]) * 1e-3
+
+        v_dl = d["vDl"]
+
+        # mass stencils: backward d1, central d2, Danckwerts inlet ghost
+        inv_m = 1.0 / (d["PeNuMa0"] * dz)               # (n_comp,)
+        c_in = p["SpCoi0"] / d["Cmax"]
+        c_ghost = (c_in + inv_m * c_raw[:, 1]) / (inv_m + 1.0)
+        c_back = jnp.concatenate([c_ghost[:, None], c_raw[:, :-1]], axis=1)
+        c_fwd = jnp.concatenate([c_raw[:, 1:], c_raw[:, -2:-1]], axis=1)
+        dcdz = (c_raw - c_back) / dz
+        d2c = (c_fwd - 2 * c_raw + c_back) / dz**2
+        res_c = (
+            -v_dl * dcdz
+            + (eps / d["PeNuMa0"])[:, None] * d2c
+            + ri / d["GaMaCoTe0"]
+        )
+
+        rows = [res_c]
+        if not spec.iso_thermal:
+            inv_h = 1.0 / (d["PeNuHe0"] * dz)
+            t_ghost = (inv_h * T_dl[1]) / (inv_h + 1.0)  # T*_in = 0
+            t_back = jnp.concatenate([t_ghost[None], T_dl[:-1]])
+            t_fwd = jnp.concatenate([T_dl[1:], T_dl[-2:-1]])
+            dtdz = (T_dl - t_back) / dz
+            d2t = (t_fwd - 2 * T_dl + t_back) / dz**2
+            res_t = (
+                -v_dl * ga_de_dl * cp_mix_dl * dtdz
+                + (1.0 / d["PeNuHe0"]) * d2t
+                + (-ov_he_re_t + qm) / d["GaHeCoTe0"]
+            )
+            rows.append(res_t[None])
+
+        return jnp.concatenate(rows, axis=0).reshape(-1)
+
+    return residual
