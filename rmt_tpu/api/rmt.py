@@ -40,6 +40,7 @@ _MODEL_IDS = {
     "N1": "steady-state homogenous packed bed reactor non-isothermal plug-flow",
     "N2": "dynamic homogenous packed bed reactor non-isothermal plug-flow",
     "T3": "steady-state pseudo-homogeneous packed bed with axial dispersion",
+    "M14": "steady-state heterogenous packed bed, gas + lumped catalyst phase",
 }
 
 _SOLVER_SETTING = {
@@ -805,6 +806,88 @@ def _run_t3(model_input, opts):
     return {"dataYs": data_y, "XYList": xy_list, "dataList": data_list}
 
 
+def _run_m14(model_input, opts):
+    """Steady heterogeneous packed bed with a lumped catalyst phase
+    (reference: pbReactor.runM9 via rmtCore.M14Init, which chains an runM3
+    result as the initial guess and a rampList kinetics continuation).
+
+    Solved on a row-scaled residual (hetero.m14_row_scales) by
+    pseudo-transient continuation + damped Newton from the feed profile;
+    the raw system mixes O(1) and O(1e3) rows and stalls both the
+    reference's fsolve and plain Newton."""
+    from ..models import hetero
+    from ..solvers import newton, radau
+
+    z_no = int(model_input.get("solver-config", {}).get("zNo", 30))
+    spec = hetero.m14_build_spec(model_input, z_no=z_no)
+    if spec.iso_thermal:
+        # the reference's iso-thermal branch pins T* = 0 but keeps the
+        # temperature unknowns in the root system (pbReactor.py:8101-8104),
+        # leaving them unconstrained -- a singular Jacobian for any root
+        # solver. Refuse instead of silently solving the wrong system.
+        raise NotImplementedError(
+            "M14 iso-thermal is degenerate in the reference formulation "
+            "(temperature unknowns decouple); use process-type "
+            "'non-iso-thermal'"
+        )
+    p = hetero.m14_params(model_input)
+    key = ("M14", spec.comp_list, spec.iso_thermal, spec.z_no,
+           id(model_input["reaction-rates"]["VARS"]), jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        res_fn = hetero.make_m14_residual(spec)
+
+        def run(pp):
+            d = hetero.m14_feed(spec, pp)
+            S = hetero.m14_row_scales(spec, pp, d)
+            res_s = lambda yy: res_fn(yy, pp, d, 1.0) / S
+            c_in = (pp["SpCoi0"] / d["Cmax"])[:, None, None] * jnp.ones(
+                (1, 2, spec.z_no)
+            )
+            y0 = jnp.concatenate(
+                [c_in, jnp.zeros((1, 2, spec.z_no), c_in.dtype)], axis=0
+            ).reshape(-1)
+            ys, _ = radau.odeint(
+                lambda t, yy: res_s(yy), y0,
+                jnp.asarray([0.0, 20.0], y0.dtype), rtol=1e-7, atol=1e-10,
+            )
+            sol = newton.root(res_s, ys[-1], max_iter=60, tol=1e-8)
+            return sol.x, sol.converged, sol.residual_norm
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+    x, converged, res_norm = runner(p)
+    if not bool(converged):
+        raise RuntimeError(f"M14 root solve did not converge (|F|={float(res_norm):.2e})")
+
+    resh = np.asarray(x).reshape(spec.n_comp + 1, 2, spec.z_no)
+    c_max = float(np.max(np.asarray(model_input["feed"]["concentration"])))
+    T0 = float(model_input["operating-conditions"]["temperature"])
+    conc_gas = resh[: spec.n_comp, 0] * c_max
+    conc_sol = resh[: spec.n_comp, 1] * c_max
+    temp_gas = (1.0 + resh[spec.n_comp, 0]) * T0
+    temp_sol = (1.0 + resh[spec.n_comp, 1]) * T0
+    mo_fri = conc_gas / np.sum(conc_gas, axis=0, keepdims=True)
+    data_xs = np.linspace(0.0, 1.0, spec.z_no)
+    label_list = (list(spec.comp_list) + ["Gas Temp"]
+                  + list(spec.comp_list) + ["Solid Temp"])
+    data_y = np.concatenate([mo_fri, temp_gas[None], conc_sol, temp_sol[None]], axis=0)
+    xy_list = [[data_xs, row] for row in data_y]
+    data_list = [
+        {"x": data_xs, "y": xy[1], "leg": leg} for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Reactor Length (m)", "")
+    return {"dataYs": data_y, "XYList": xy_list, "dataList": data_list,
+            "dataPack": [{
+                "successStatus": True,
+                "dataYCoGas": conc_gas, "dataYCoSolid": conc_sol,
+                "dataYTempGas": temp_gas, "dataYTempSolid": temp_sol,
+            }]}
+
+
 # ---------------------------------------------------------------------------
 
 def rmtExe(modelInput: Mapping[str, Any]):
@@ -831,6 +914,8 @@ def rmtExe(modelInput: Mapping[str, Any]):
         res_model = _run_t2(modelInput, _solver_options(modelInput))
     elif model_type == "T3":
         res_model = _run_t3(modelInput, _solver_options(modelInput))
+    elif model_type == "M14":
+        res_model = _run_m14(modelInput, _solver_options(modelInput))
     elif model_type in ("N1", "N2"):
         spec = homo.build_spec(modelInput)
         opts = _solver_options(modelInput)
