@@ -29,10 +29,11 @@ RTOL, ATOL = (1e-7, 1e-10) if X64 else (1e-5, 1e-7)
 REFERENCE_PATH = "/root/reference"
 
 
-def measure_reference_seconds(model_input_factory) -> float:
+def measure_reference_seconds(model_input_factory):
     """Wall-clock of ONE reference PyREMOT N2 run (scipy LSODA, default
-    tolerances) on this host. Falls back to a recorded measurement if the
-    reference isn't importable."""
+    tolerances) on this host. Returns None when the reference isn't
+    importable -- a fabricated fallback would make vs_baseline look
+    measured when it wasn't."""
     try:
         sys.path.insert(0, REFERENCE_PATH)
         import io
@@ -52,8 +53,9 @@ def measure_reference_seconds(model_input_factory) -> float:
             best = min(best, time.perf_counter() - t0)
         return best
     except Exception as e:  # pragma: no cover - bench robustness
-        print(f"# reference unavailable ({e}); using recorded baseline", file=sys.stderr)
-        return 1.0  # conservative fallback; measured live when possible
+        print(f"# reference NOT measured ({e}); vs_baseline will be null",
+              file=sys.stderr)
+        return None
 
 
 def main():
@@ -106,14 +108,14 @@ def main():
 
     b, t_ens = result
     members_per_sec = b / t_ens
-    speedup = (b * t_ref) / t_ens
+    speedup = round((b * t_ref) / t_ens, 2) if t_ref is not None else None
     print(
         json.dumps(
             {
                 "metric": f"n2_dme_ensemble{b}_members_per_sec",
                 "value": round(members_per_sec, 3),
                 "unit": "reactors/s",
-                "vs_baseline": round(speedup, 2),
+                "vs_baseline": speedup,
             }
         )
     )

@@ -9,6 +9,7 @@
 
 from __future__ import annotations
 
+import types
 from timeit import default_timer as timer
 from typing import Any, Mapping
 
@@ -40,6 +41,7 @@ _MODEL_IDS = {
     "N1": "steady-state homogenous packed bed reactor non-isothermal plug-flow",
     "N2": "dynamic homogenous packed bed reactor non-isothermal plug-flow",
     "T3": "steady-state pseudo-homogeneous packed bed with axial dispersion",
+    "M13": "dynamic heterogenous packed bed, gas/solid operator splitting",
     "M14": "steady-state heterogenous packed bed, gas + lumped catalyst phase",
 }
 
@@ -52,11 +54,66 @@ _SOLVER_SETTING = {
 _DEFAULT_RTOL = 1e-7
 _DEFAULT_ATOL = 1e-10
 
+# solver-config keys the framework honors. Unknown keys are rejected (the
+# reference silently drops them; silently accepting-and-ignoring user config
+# hides typos like "rtoll")
+_SOLVER_CONFIG_KEYS = {
+    "ivp", "root", "mesh", "display-result", "rtol", "atol",
+    "zNo", "tNo", "timesNo", "rNo",
+}
+_ROOT_METHODS = {"default", "fsolve", "root", "least_squares"}
+
 _jit_cache: dict[tuple, Any] = {}
 
 
 def _stats_dict(stats):
     return {k: int(v) for k, v in stats._asdict().items()}
+
+
+def _check_integration(stats, context: str):
+    """Fail loudly when the integrator exhausted its step budget: the
+    trailing output rows would hold states at the wrong times (the
+    reference likewise raises on solve_ivp failure,
+    pbHomoReactor.py:2944-2947)."""
+    d = _stats_dict(stats)
+    bad = d.get("n_unreached", 0)
+    if bad:
+        raise RuntimeError(
+            f"{context}: integrator failed to reach {bad} output time(s) "
+            f"within the step budget (stats: {d})"
+        )
+    return d
+
+
+def _code_fingerprint(code: types.CodeType) -> tuple:
+    consts = tuple(
+        _code_fingerprint(c) if isinstance(c, types.CodeType) else repr(c)
+        for c in code.co_consts
+    )
+    return (code.co_code, consts, code.co_names, code.co_varnames)
+
+
+def _kinetics_fingerprint(model_input: Mapping[str, Any]) -> tuple:
+    """Stable content identity for the VARS/RATES dict-program. id()-based
+    keys are unsound: CPython recycles ids after GC, so two different
+    kinetics dicts built in a parameter-scan loop can collide and silently
+    reuse the wrong compiled model."""
+    rr = model_input["reaction-rates"]
+    out = []
+    for section in ("VARS", "RATES"):
+        for name, v in rr.get(section, {}).items():
+            if callable(v):
+                code = getattr(v, "__code__", None)
+                fp = _code_fingerprint(code) if code is not None else repr(v)
+                closure = getattr(v, "__closure__", None)
+                cells = (
+                    tuple(repr(c.cell_contents) for c in closure)
+                    if closure else ()
+                )
+                out.append((section, name, fp, cells))
+            else:
+                out.append((section, name, repr(v)))
+    return tuple(out)
 
 
 def rmtCom() -> str:
@@ -76,9 +133,25 @@ def _check_components(model_input: Mapping[str, Any]) -> None:
 
 def _solver_options(model_input: Mapping[str, Any]) -> dict[str, Any]:
     sc = model_input.get("solver-config", {})
+    unknown = set(sc) - _SOLVER_CONFIG_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown solver-config key(s) {sorted(unknown)}; "
+            f"supported: {sorted(_SOLVER_CONFIG_KEYS)}"
+        )
+    root = sc.get("root", "default")
+    if root not in _ROOT_METHODS:
+        raise ValueError(
+            f"unknown solver-config root {root!r}; supported: "
+            f"{sorted(_ROOT_METHODS)} (all route to the damped-Newton/PTC "
+            "solver -- scipy's fsolve/root/least_squares distinctions have "
+            "no TPU analogue)"
+        )
     ivp = sc.get("ivp", "default")
     return {
         "ivp": ivp,
+        "root": root,
+        "mesh": sc.get("mesh", "normal"),
         "rtol": float(sc.get("rtol", _DEFAULT_RTOL)),
         "atol": float(sc.get("atol", _DEFAULT_ATOL)),
         "display": sc.get("display-result", "False") == "True",
@@ -86,14 +159,12 @@ def _solver_options(model_input: Mapping[str, Any]) -> dict[str, Any]:
 
 
 def _cache_key(model: str, spec: homo.HomoSpec, model_input, opts) -> tuple:
-    rr = model_input["reaction-rates"]
     return (
         model,
         spec.comp_list,
         spec.iso_thermal,
         tuple(model_input["reactions"].values()),
-        id(rr["VARS"]),
-        id(rr["RATES"]),
+        _kinetics_fingerprint(model_input),
         tuple(sorted(model_input.get("kinetic-overrides", {}).keys())),
         spec.z_no,
         spec.t_no,
@@ -122,7 +193,7 @@ def _n1_runner(spec: homo.HomoSpec, opts):
             ys = fixed.precorr3(
                 lambda t, y: rhs(t, y, p, d), 0.0, 1.0, _SOLVER_SETTING["AM_n"], y0
             )
-            stats = dopri5.Dopri5Stats(*(jnp.asarray(0, jnp.int32),) * 3)
+            stats = dopri5.Dopri5Stats(*(jnp.asarray(0, jnp.int32),) * 4)
             idxs = jnp.round(jnp.linspace(0, _SOLVER_SETTING["AM_n"], spec.z_out + 1)).astype(int)
             ys = ys[idxs]
         elif opts["ivp"] in ("RK45", "dopri5"):
@@ -147,6 +218,7 @@ def _run_n1(model_input, spec: homo.HomoSpec, opts):
         runner = _n1_runner(spec, opts)
         _jit_cache[key] = runner
     ys, stats = runner(p)
+    stats_d = _check_integration(stats, "N1")
     ys = np.asarray(ys)
 
     comp_list = list(spec.comp_list)
@@ -193,7 +265,7 @@ def _run_n1(model_input, spec: homo.HomoSpec, opts):
             "dataYTemp1": temp_dl,
             "dataYTemp2": temp_re,
             "dataYs": data_ys_all,
-            "solverStats": _stats_dict(stats),
+            "solverStats": stats_d,
         }
     ]
 
@@ -221,7 +293,7 @@ def _n2_runner(spec: homo.HomoSpec, opts):
 
             _, ys = jax.lax.scan(seg, y0, jnp.stack([ts[:-1], ts[1:]], axis=1))
             ys = jnp.concatenate([y0[None], ys], axis=0)
-            stats = dopri5.Dopri5Stats(*(jnp.asarray(0, jnp.int32),) * 3)
+            stats = dopri5.Dopri5Stats(*(jnp.asarray(0, jnp.int32),) * 4)
         elif opts["ivp"] in ("RK45", "dopri5"):
             ys, stats = dopri5.odeint(
                 lambda t, y: rhs(t, y, p, d), y0, ts, rtol=rtol, atol=atol
@@ -244,6 +316,7 @@ def _run_n2(model_input, spec: homo.HomoSpec, opts):
         runner = _n2_runner(spec, opts)
         _jit_cache[key] = runner
     ys, stats = runner(p)
+    stats_d = _check_integration(stats, "N2")
     ys = np.asarray(ys)
 
     comp_list = list(spec.comp_list)
@@ -298,7 +371,7 @@ def _run_n2(model_input, spec: homo.HomoSpec, opts):
     return {
         "computation-time": elapsed,
         "dataPack": data_pack,
-        "solverStats": _stats_dict(stats),
+        "solverStats": stats_d,
     }
 
 
@@ -311,8 +384,7 @@ def _run_pf(model_input, opts):
     p = pf.build_params(model_input)
     key = ("M0", spec.comp_list,
            tuple(model_input["reactions"].values()),
-           id(model_input["reaction-rates"]["VARS"]),
-           id(model_input["reaction-rates"]["RATES"]),
+           _kinetics_fingerprint(model_input),
            opts["ivp"], opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
@@ -326,11 +398,12 @@ def _run_pf(model_input, opts):
                 lambda t, y: rhs(t, y, pp), y0, ts,
                 rtol=opts["rtol"], atol=opts["atol"],
             )
-            return ys.T, ts
+            return ys.T, ts, stats
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
-    ys, ts = runner(p)
+    ys, ts, stats = runner(p)
+    _check_integration(stats, "M0/M4")
     ys = np.asarray(ys)
     data_x = np.asarray(ts)
 
@@ -355,8 +428,7 @@ def _run_m1(model_input, opts):
     p = pb.build_params(model_input)
     key = ("M1", spec.comp_list,
            tuple(model_input["reactions"].values()),
-           id(model_input["reaction-rates"]["VARS"]),
-           id(model_input["reaction-rates"]["RATES"]),
+           _kinetics_fingerprint(model_input),
            opts["ivp"], opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
@@ -370,11 +442,12 @@ def _run_m1(model_input, opts):
                 lambda t, y: rhs(t, y, pp), y0, ts,
                 rtol=opts["rtol"], atol=opts["atol"],
             )
-            return ys.T, ts
+            return ys.T, ts, stats
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
-    ys, ts = runner(p)
+    ys, ts, stats = runner(p)
+    _check_integration(stats, "M1")
     ys = np.asarray(ys)
     data_x = np.asarray(ts)
     n_comp = spec.n_comp
@@ -414,8 +487,7 @@ def _run_m2(model_input, opts, model_id="M2"):
     p = pb.build_params(model_input)
     key = (model_id, spec.comp_list, spec.z_no, spec.t_no,
            tuple(model_input["reactions"].values()),
-           id(model_input["reaction-rates"]["VARS"]),
-           id(model_input["reaction-rates"]["RATES"]),
+           _kinetics_fingerprint(model_input),
            opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
@@ -439,11 +511,16 @@ def _run_m2(model_input, opts, model_id="M2"):
                 fB, y0, ts, rtol=opts["rtol"], atol=opts["atol"],
                 jac=jB, batched=True,
             )
-            return ys[:, 0, :], ts
+            return ys[:, 0, :], ts, stats
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
-    ys, ts = runner(p)
+    ys, ts, stats = runner(p)
+    if int(stats.seg[0]) != spec.t_no:
+        raise RuntimeError(
+            f"{model_id}: lockstep integrator exhausted its attempt budget "
+            f"at output segment {int(stats.seg[0])}/{spec.t_no}"
+        )
     ys = np.asarray(ys)
     t_bounds = np.asarray(ts)
 
@@ -498,7 +575,7 @@ def _run_batch(model_input, opts):
     spec = batch.build_spec(model_input)
     p = batch.build_params(model_input)
     key = ("M3", spec.comp_list, spec.iso_thermal,
-           id(model_input["reaction-rates"]["VARS"]),
+           _kinetics_fingerprint(model_input),
            opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
@@ -511,11 +588,12 @@ def _run_batch(model_input, opts):
                 lambda t, y: rhs(t, y, pp), y0, ts,
                 rtol=opts["rtol"], atol=opts["atol"],
             )
-            return ys.T, ts
+            return ys.T, ts, stats
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
-    ys, ts = runner(p)
+    ys, ts, stats = runner(p)
+    _check_integration(stats, "M3")
     ys = np.asarray(ys)
     data_x = np.asarray(ts)
     label_list = list(spec.comp_list) + ([] if spec.iso_thermal else ["Temperature"])
@@ -548,11 +626,12 @@ def _run_m5(model_input, opts):
                 lambda t, y: rhs(t, y, pp), y0, ts,
                 rtol=opts["rtol"], atol=opts["atol"],
             )
-            return ys.T, ts
+            return ys.T, ts, stats
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
-    ys, ts = runner(p)
+    ys, ts, stats = runner(p)
+    _check_integration(stats, "M5")
     ys = np.asarray(ys)
     data_x = np.asarray(ts)
     label_list = list(spec.comp_list) + ["Flux", "Temperature", "Pressure"]
@@ -576,7 +655,7 @@ def _run_m_conc_steady(model_input, opts, model_id):
     p = pb.build_params(model_input)
     key = (model_id, spec.comp_list,
            tuple(model_input["reactions"].values()),
-           id(model_input["reaction-rates"]["VARS"]),
+           _kinetics_fingerprint(model_input),
            opts["ivp"], opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
     n_out = 30 if model_id == "M7" else 25    # solverSetting M9.zNo / S3.timesNo
     runner = _jit_cache.get(key)
@@ -596,11 +675,12 @@ def _run_m_conc_steady(model_input, opts, model_id):
                 lambda t, y: rhs(t, y, pp), y0, ts,
                 rtol=opts["rtol"], atol=opts["atol"],
             )
-            return ys.T, ts
+            return ys.T, ts, stats
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
-    ys, ts = runner(p)
+    ys, ts, stats = runner(p)
+    _check_integration(stats, model_id)
     ys = np.asarray(ys)
     data_x = np.asarray(ts)
     n_comp = spec.n_comp
@@ -643,10 +723,20 @@ def _particle_sort(spec, ys_reshaped, p):
 
 
 def _run_t1(model_input, opts):
+    # T1 honors the reference's LSODA default tolerances unless the user
+    # overrides them: the model's unscaled reaction-term quirk
+    # (ops/particle_fd.py) makes the early transient explosively unstable
+    # (autocatalytic modes with Re(lambda) ~ +1e12), and resolving it at
+    # tight tolerance stalls any integrator -- the reference only ever runs
+    # it at rtol=1e-3/atol=1e-6 (scipy defaults)
+    sc = model_input.get("solver-config", {})
+    opts = dict(opts)
+    opts["rtol"] = float(sc.get("rtol", 1e-3))
+    opts["atol"] = float(sc.get("atol", 1e-6))
     spec = particle.build_spec(model_input)
     p = particle.build_params(model_input)
     key = ("T1", spec.comp_list, spec.iso_thermal, spec.r_no, spec.t_no,
-           id(model_input["reaction-rates"]["VARS"]),
+           _kinetics_fingerprint(model_input),
            opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
@@ -659,11 +749,12 @@ def _run_t1(model_input, opts):
                 lambda t, y: rhs(t, y, pp), y0, ts,
                 rtol=opts["rtol"], atol=opts["atol"],
             )
-            return ys, ts
+            return ys, ts, stats
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
-    ys, ts = runner(p)
+    ys, ts, stats = runner(p)
+    _check_integration(stats, "T1")
     ys = np.asarray(ys)
     t_bounds = np.asarray(ts)
 
@@ -888,6 +979,159 @@ def _run_m14(model_input, opts):
             }]}
 
 
+def _run_m13(model_input, opts):
+    """Dynamic heterogeneous packed bed by operator splitting (reference:
+    pbHeterReactor.runM2 via rmtCore.M13Init). Per interval: gas MoL phase
+    under Radau with the previous interval's solid-surface values, then the
+    per-node particle BVP by vmapped damped Newton with the previous
+    interval's gas bulk values (the reference's staggered exchange order,
+    pbHeterReactor.py:995-1148).
+
+    Driver deviation (documented in models/hetero_dyn.py): the gas state is
+    carried across intervals -- the reference re-seeds a dead variable and
+    silently restarts the gas phase from 1e-6 every interval
+    (pbHeterReactor.py:1148)."""
+    from ..models import hetero_dyn
+    from ..solvers import newton
+
+    sc = model_input.get("solver-config", {})
+    spec = hetero_dyn.m13_build_spec(
+        model_input,
+        z_no=int(sc.get("zNo", 10)),      # solverSetting T1.zNo
+        r_no=int(sc.get("rNo", 7)),       # T1.rNo.fdm
+        t_no=int(sc.get("tNo", 5)),       # T1.tNo
+    )
+    p = hetero_dyn.m13_params(model_input)
+    key = ("M13", spec.comp_list, spec.z_no, spec.r_no, spec.t_no,
+           tuple(model_input["reactions"].values()),
+           _kinetics_fingerprint(model_input),
+           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        gas_rhs = hetero_dyn.make_m13_gas_rhs(spec)
+        node_res = hetero_dyn.make_m13_solid_node_residual(spec)
+        n_comp, n_layer, r_no, z_no = (
+            spec.n_comp, spec.n_layer, spec.r_no, spec.z_no
+        )
+
+        def run(pp):
+            d = hetero_dyn.m13_feed(spec, pp)
+            y_gas = hetero_dyn.m13_gas_initial_state(spec, pp)
+            y_solid = hetero_dyn.m13_solid_initial_state(spec, pp)
+            # initial interface = solid IV surface row; initial bulk = gas IV
+            cs_surf = y_solid[:n_comp, 0, :]
+            ts_surf = y_solid[n_comp, 0, :]
+            g0 = y_gas.reshape(n_layer, z_no)
+            c_bulk, t_bulk = g0[:n_comp], g0[n_comp]
+            ts_grid = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(
+                y_gas.dtype
+            )
+
+            def solve_node(y_node, cb, tb):
+                # plain Newton diverges from far-off iterates (the DME
+                # kinetics' reverse rates explode away from equilibrium), so
+                # pseudo-transient continuation first: the solid residual IS
+                # the dynamic particle RHS, integrate it to its attractor,
+                # then polish with damped Newton -- same recipe as T3/M14
+                res = lambda yn: node_res(
+                    yn.reshape(n_layer, r_no), cb, tb, pp, d
+                ).reshape(-1)
+                ysn, _ = radau.odeint(
+                    lambda t, yn: res(yn), y_node.reshape(-1),
+                    jnp.asarray([0.0, 1.0], y_node.dtype),
+                    rtol=1e-6, atol=1e-9, max_steps=4000,
+                )
+                sol = newton.root(res, ysn[-1], max_iter=40, tol=1e-9)
+                return sol.x.reshape(n_layer, r_no), sol.converged
+
+            def interval(carry, tpair):
+                y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, nunr = carry
+                ys, stats = radau.odeint(
+                    lambda t, y: gas_rhs(t, y, pp, d, cs_surf, ts_surf),
+                    y_gas, tpair, rtol=opts["rtol"], atol=opts["atol"],
+                )
+                y_gas = ys[-1]
+                y_solid, conv = jax.vmap(
+                    solve_node, in_axes=(2, 1, 0), out_axes=(2, 0)
+                )(y_solid, c_bulk, t_bulk)
+                cs_surf = y_solid[:n_comp, 0, :]
+                ts_surf = y_solid[n_comp, 0, :]
+                Yg = y_gas.reshape(n_layer, z_no)
+                c_bulk, t_bulk = Yg[:n_comp], Yg[n_comp]
+                nunr = nunr + stats.n_unreached
+                carry = (y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, nunr)
+                return carry, (y_gas, y_solid, jnp.all(conv))
+
+            zero = jnp.asarray(0, jnp.int32)
+            carry, (gas_t, solid_t, conv_t) = jax.lax.scan(
+                interval,
+                (y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, zero),
+                jnp.stack([ts_grid[:-1], ts_grid[1:]], axis=1),
+            )
+            return gas_t, solid_t, conv_t, carry[6], ts_grid
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+
+    start = timer()
+    gas_t, solid_t, conv_t, n_unreached, ts_grid = runner(p)
+    if int(n_unreached):
+        raise RuntimeError(
+            f"M13: gas-phase integrator failed to reach {int(n_unreached)} "
+            "interval boundary(ies) within the step budget"
+        )
+    if not bool(jnp.all(conv_t)):
+        bad = [i for i, c in enumerate(np.asarray(conv_t)) if not c]
+        raise RuntimeError(f"M13: solid BVP Newton did not converge at "
+                           f"interval(s) {bad}")
+
+    gas_t = np.asarray(gas_t)          # (tNo, n_layer*zNo)
+    solid_t = np.asarray(solid_t)      # (tNo, n_layer, rNo, zNo)
+    t_bounds = np.asarray(ts_grid)
+    n_comp, z_no = spec.n_comp, spec.z_no
+    c_max = float(np.max(np.asarray(p["SpCoi0"])))
+    T0 = float(p["T0"])
+    data_xs = np.linspace(0.0, 1.0, z_no)
+    label_list = list(spec.comp_list) + ["Temperature"]
+
+    data_pack = []
+    for i in range(spec.t_no):
+        Yg = gas_t[i].reshape(spec.n_layer, z_no)
+        conc_dl = Yg[:n_comp]
+        temp_dl = Yg[n_comp:n_comp + 1]
+        mo_fri = conc_dl / np.sum(conc_dl, axis=0)
+        data_ys = np.concatenate([mo_fri, temp_dl], axis=0)
+        sol = solid_t[i]
+        data_pack.append({
+            "successStatus": True,
+            "dataTime": t_bounds[i + 1],
+            "dataYCon": conc_dl,
+            "dataYTemp": temp_dl,
+            "dataYs": data_ys,
+            # solid phase (the reference returns empty lists here;
+            # we provide the real profiles, r index 0 = interface)
+            "dataYCons": sol[:n_comp] * c_max,
+            "dataYTemps": (sol[n_comp] * T0 + T0),
+        })
+
+    xy_list = [[data_xs, row] for row in data_pack[-1]["dataYs"]]
+    data_list = [
+        {"x": data_xs, "y": xy[1], "leg": leg}
+        for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Dimensionless Reactor Length", "")
+    elapsed = roundNum(timer() - start)
+    return {
+        "XYList": xy_list,
+        "dataList": data_list,
+        "dataPack": data_pack,
+        "computation-time": elapsed,
+    }
+
+
 # ---------------------------------------------------------------------------
 
 def rmtExe(modelInput: Mapping[str, Any]):
@@ -914,6 +1158,8 @@ def rmtExe(modelInput: Mapping[str, Any]):
         res_model = _run_t2(modelInput, _solver_options(modelInput))
     elif model_type == "T3":
         res_model = _run_t3(modelInput, _solver_options(modelInput))
+    elif model_type == "M13":
+        res_model = _run_m13(modelInput, _solver_options(modelInput))
     elif model_type == "M14":
         res_model = _run_m14(modelInput, _solver_options(modelInput))
     elif model_type in ("N1", "N2"):

@@ -376,31 +376,11 @@ def make_n2_colored_jacobian(spec: HomoSpec):
     gives 2*varNo JVP directions instead of varNo*zNo dense tangents --
     a ~zNo/2 reduction in the dominant stiff-solver cost.
     """
-    rhs_f = make_n2_rhs(spec, frozen_pressure_jac=True)
-    z_no, var_no = spec.z_no, spec.var_no_n2
-    n = var_no * z_no
-    idx = np.arange(n)
-    v_of = idx // z_no
-    z_of = idx % z_no
-    colors = v_of * 2 + (z_of % 2)                     # (n,) in [0, 2*varNo)
-    n_colors = 2 * var_no
-    V = np.zeros((n_colors, n))
-    V[colors, idx] = 1.0
-    # rows that may depend on each column: z_row in {z_col, z_col + 1}
-    mask = (z_of[:, None] == z_of[None, :]) | (z_of[:, None] == z_of[None, :] + 1)
-    V_j = jnp.asarray(V)
-    mask_j = jnp.asarray(mask.astype(np.float64))
-    colors_j = jnp.asarray(colors)
+    from ..ops.jacobian import colored_jacobian
 
-    def jac(t, y, p, d):
-        fun = lambda yy: rhs_f(t, yy, p, d)
-        jv = jax.vmap(lambda tangent: jax.jvp(fun, (y,), (tangent,))[1])(
-            V_j.astype(y.dtype)
-        )                                              # (n_colors, n)
-        # J[r, c] = jv[color(c), r] on the sparsity pattern
-        return jv[colors_j, :].T * mask_j.astype(y.dtype)
-
-    return jac
+    return colored_jacobian(
+        make_n2_rhs(spec, frozen_pressure_jac=True), spec.var_no_n2, spec.z_no
+    )
 
 
 # ---------------------------------------------------------------------------

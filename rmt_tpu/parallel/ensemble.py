@@ -75,13 +75,9 @@ def make_n2_ensemble(
         return ys, stats.n_fev
 
     def build(axes):
-        fn = jax.vmap(single, in_axes=(axes,))
-        if mesh is not None:
-            # members ride the dp axis; everything else is replicated
-            fn = jax.jit(fn)
-        else:
-            fn = jax.jit(fn)
-        return fn
+        # members ride the dp axis when the inputs carry a dp sharding
+        # (shard_batch); jit propagates it, no per-mesh variant needed
+        return jax.jit(jax.vmap(single, in_axes=(axes,)))
 
     return single, build
 

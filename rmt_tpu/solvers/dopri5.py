@@ -42,6 +42,7 @@ class Dopri5Stats(NamedTuple):
     n_fev: jnp.ndarray          # RHS evaluations
     n_accepted: jnp.ndarray
     n_rejected: jnp.ndarray
+    n_unreached: jnp.ndarray    # output times NOT reached within max_steps
 
 
 def _error_norm(err, y0, y1, rtol, atol):
@@ -97,7 +98,7 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-9, max_steps: int = 100_000, args=None)
     h0 = _initial_step(f_, ts[0], y0, f0, rtol, atol, jnp.asarray(1.0, dtype))
 
     def segment(carry, t_end):
-        t, y, fval, h, nfev, nacc, nrej = carry
+        t, y, fval, h, nfev, nacc, nrej, nunr = carry
 
         def cond(state):
             t, *_, steps = state
@@ -144,7 +145,9 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-9, max_steps: int = 100_000, args=None)
         t, y, fval, h, nfev, nacc, nrej, _ = lax.while_loop(
             cond, body, (t, y, fval, h, nfev, nacc, nrej, jnp.asarray(0, jnp.int32))
         )
-        return (t, y, fval, h, nfev, nacc, nrej), y
+        eps_t = 8 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t_end), 1.0)
+        nunr = nunr + (t < t_end - eps_t).astype(jnp.int32)
+        return (t, y, fval, h, nfev, nacc, nrej, nunr), y
 
     init = (
         ts[0],
@@ -154,8 +157,9 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-9, max_steps: int = 100_000, args=None)
         jnp.asarray(2, jnp.int32),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
     )
     carry, ys = lax.scan(segment, init, ts[1:])
     ys = jnp.concatenate([y0[None], ys], axis=0)
-    stats = Dopri5Stats(carry[4], carry[5], carry[6])
+    stats = Dopri5Stats(carry[4], carry[5], carry[6], carry[7])
     return ys, stats

@@ -82,6 +82,8 @@ class RadauStats(NamedTuple):
     n_lu: jnp.ndarray
     n_accepted: jnp.ndarray
     n_rejected: jnp.ndarray
+    n_unreached: jnp.ndarray  # output times NOT reached within max_steps;
+                              # the run only succeeded if this is 0
 
 
 def _norm(v, scale):
@@ -219,19 +221,25 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
                 stats.n_lu + 1,
                 stats.n_accepted + accept.astype(jnp.int32),
                 stats.n_rejected + (~accept).astype(jnp.int32),
+                stats.n_unreached,
             )
             return t_new, y_new, f_new, h_next, new_stats, steps + 1
 
         t, y, fval, h, stats, _ = lax.while_loop(
             cond, body, (t, y, fval, h, stats, jnp.asarray(0, jnp.int32))
         )
+        # a segment that exhausted max_steps leaves t short of t_end and its
+        # output row holds a state at the wrong time -- count it as a failure
+        eps_t = 8 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t_end), 1.0)
+        unreached = (t < t_end - eps_t).astype(jnp.int32)
+        stats = stats._replace(n_unreached=stats.n_unreached + unreached)
         return (t, y, fval, h, stats), y
 
     f0 = f_(ts[0], y0)
     span = ts[-1] - ts[0]
     h0 = jnp.minimum(1e-3 * span, jnp.asarray(1e-4, dtype) * jnp.maximum(span, 1.0))
     zero = jnp.asarray(0, jnp.int32)
-    stats0 = RadauStats(jnp.asarray(1, jnp.int32), zero, zero, zero, zero)
+    stats0 = RadauStats(jnp.asarray(1, jnp.int32), zero, zero, zero, zero, zero)
     carry, ys = lax.scan(segment, (ts[0], y0, f0, h0, stats0), ts[1:])
     ys = jnp.concatenate([y0[None], ys], axis=0)
     return ys, carry[4]

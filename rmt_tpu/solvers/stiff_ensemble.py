@@ -309,7 +309,7 @@ def odeint_ensemble(
     # write boundary states into the output buffer by masked scatter, and
     # idle (masked) once finished. max_steps is the total attempt budget.
     n_out = ts.shape[0]
-    chunk = 16
+    chunk = j_every  # attempts between global Jacobian refreshes
 
     def attempt(state, _):
         t, y, fval, h, J, Pr, Pcr, Pci, seg, out, st = state

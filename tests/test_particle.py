@@ -177,9 +177,32 @@ def test_t2_end_to_end_solves():
     np.testing.assert_allclose(dp["dataYMoFr"].sum(axis=0), 1.0, rtol=1e-9)
 
 
+# Frozen oracle: reference modelEquationT1 under scipy LSODA (its default
+# rtol=1e-3/atol=1e-6 -- the only tolerances the explosive T1 transient is
+# integrable at; see _run_t1) from the 1e-6 IV to t=0.5 s, state reshaped
+# (n_layer, rNo). Captured 2026-08-16 on this machine (takes ~4 min live,
+# hence frozen).
+_T1_REF_Y_05 = np.array([
+    [0.84802096, 0.84802097, 0.84802098, 0.84802101, 0.84802104, 0.8480211, 0.84815766],
+    [0.44807949, 0.44807945, 0.44807936, 0.44807922, 0.44807905, 0.44807888, 0.44815804],
+    [0.05131567, 0.05131565, 0.05131561, 0.05131554, 0.05131545, 0.05131536, 0.05122681],
+    [0.53234244, 0.5323424, 0.53234229, 0.53234213, 0.53234193, 0.53234173, 0.53229087],
+    [0.005363, 0.005363, 0.00536301, 0.00536303, 0.00536306, 0.00536308, 0.00535283],
+    [0.00363528, 0.00363529, 0.00363532, 0.00363535, 0.00363539, 0.00363543, 0.00362629],
+    [0.25397063, 0.25397057, 0.2539704, 0.25397015, 0.25396986, 0.2539696, 0.25409553],
+])
+
+
 def test_t1_end_to_end_runs():
     from rmt_tpu import rmtExe
 
-    res = rmtExe(_t1_model_input())["resModel"]
+    mi = _t1_model_input()
+    mi["operating-conditions"]["period"] = 0.5
+    res = rmtExe(mi)["resModel"]
     assert len(res["dataPack"]) == 10
     assert res["dataPack"][-1]["dataY"].shape == (7, 7)
+    # dimensionless state at t = 0.5 vs the frozen reference-LSODA oracle;
+    # both runs are O(rtol=1e-3) accurate, so agree to ~1e-3
+    last = res["dataPack"][-1]
+    ours = np.concatenate([last["dataYCo_DiLe"], last["dataYT_DiLe"]], axis=0)
+    np.testing.assert_allclose(ours, _T1_REF_Y_05, rtol=5e-3, atol=5e-4)
