@@ -1008,7 +1008,11 @@ def _run_m13(model_input, opts):
            opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        gas_rhs = hetero_dyn.make_m13_gas_rhs(spec)
+        # driver-level salvage: the reference's interphase-flux sign makes
+        # the gas phase linearly unstable (see make_m13_gas_rhs docstring);
+        # integrate with the corrected sign of its sister model
+        # pbReactor.modelEquationM7:5268
+        gas_rhs = hetero_dyn.make_m13_gas_rhs(spec, flux_sign=-1.0)
         node_res = hetero_dyn.make_m13_solid_node_residual(spec)
         n_comp, n_layer, r_no, z_no = (
             spec.n_comp, spec.n_layer, spec.r_no, spec.z_no

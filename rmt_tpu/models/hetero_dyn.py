@@ -20,7 +20,10 @@
 #   * stencils act on the RAW state; EPS clamping only guards the mole
 #     fractions / density / kinetics inputs (pbHeterReactor.py:1575,1791);
 #   * the interphase mass flux enters the gas balance with a POSITIVE sign
-#     (pbHeterReactor.py:1798,1997-2005) -- reproduced as written;
+#     (pbHeterReactor.py:1798,1997-2005) -- reproduced as written under
+#     flux_sign=+1.0 for parity; the sign is anti-dissipative and makes the
+#     gas phase unintegrable, so the driver runs with flux_sign=-1.0
+#     (see make_m13_gas_rhs);
 #   * v* = 1 (frozen velocity, :1599,1837) and the Ergun pressure march
 #     feeds nothing downstream (P only reaches an unused volumetric
 #     flowrate, :1629) -- so the march is omitted; solid kinetics use P0
@@ -213,12 +216,22 @@ def m13_solid_initial_state(spec: M13Spec, p):
     return jnp.concatenate([y, t], axis=0)
 
 
-def make_m13_gas_rhs(spec: M13Spec):
+def make_m13_gas_rhs(spec: M13Spec, flux_sign: float = 1.0):
     """Gas-phase MoL RHS, vectorized over z (reference modelEquationM2).
 
     y: flat (n_comp+1, zNo) dimensionless gas state; cs_surf (n_comp, zNo)
     and ts_surf (zNo,) are the dimensionless solid-surface interface values
-    (InterfaceParams)."""
+    (InterfaceParams).
+
+    flux_sign: +1.0 reproduces the reference's interphase-flux sign in the
+    species balance (pbHeterReactor.py:1798,2004). That sign makes the gas
+    phase linearly UNSTABLE -- d(dCi/dt)/dCi gains +MaTrCo*SpSuAr/BeVoFr
+    (~ +40 1/s for the DME case), so any operation period beyond
+    milliseconds diverges under every integrator (the reference ships no
+    M13 test that would have caught this). The sister model
+    pbReactor.modelEquationM7:5268 subtracts the same flux. The driver
+    integrates with flux_sign=-1.0 (documented salvage, like M5); parity
+    tests pin the quirk with +1.0."""
     idx = spec.comp_idx
     n_comp = spec.n_comp
     z_no = spec.z_no
@@ -264,9 +277,10 @@ def make_m13_gas_rhs(spec: M13Spec):
 
         conv_c = -d["vDl"] * dcdz
         disp_c = (eps / d["PeNuMa0"])[:, None] * d2c   # GaDii_DiLeVa = 1
-        # POSITIVE interphase-flux sign, as the reference writes it
         flux_c = (1.0 / d["GaMaCoTe0"]) * mo_fli * d["SpSuAr"]
-        dcdt = (p["vf"] / (eps * p["ReLe"])) * (conv_c + disp_c + flux_c)
+        dcdt = (p["vf"] / (eps * p["ReLe"])) * (
+            conv_c + disp_c + flux_sign * flux_c
+        )
 
         # --- energy balance ---
         inv_h = 1.0 / (d["PeNuHe0"] * dz)
@@ -362,6 +376,170 @@ def make_m13_solid_node_residual(spec: M13Spec):
         return jnp.concatenate([fc, ft[None]], axis=0)
 
     return residual
+
+
+def m11_initial_state(spec: M13Spec, p):
+    """M11 IV (pbReactor.py:3991-4026): gas rows get the dimensionless feed
+    profile, solid rows 1e-6, all temperatures 0. Layout
+    (n_layer, rNo+1, zNo) with row 0 = gas, rows 1.. = particle (storage
+    order, row 1 = gas-solid interface)."""
+    c_in = p["SpCoi0"] / jnp.max(p["SpCoi0"])
+    c_gas = jnp.tile(c_in[:, None, None], (1, 1, spec.z_no))
+    c_sol = jnp.full((spec.n_comp, spec.r_no, spec.z_no), 1e-6, c_gas.dtype)
+    t_all = jnp.zeros((1, spec.r_no + 1, spec.z_no), c_gas.dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([c_gas, c_sol], axis=1), t_all], axis=0
+    ).reshape(-1)
+
+
+def make_m11_rhs(spec: M13Spec):
+    """Coupled dynamic heterogeneous MoL RHS (reference modelEquationM7,
+    pbReactor.py:4389-5491): one ODE system over (n_layer, rNo+1, zNo) --
+    row 0 is the gas phase (axial dispersion + Danckwerts BC1, exactly the
+    M13 gas phase), rows 1..rNo are the particle interior (dynamic version
+    of the M13 solid residual). Quirk-for-quirk differences vs the M13
+    pieces, as the reference writes them:
+      * the interphase mass flux uses the CLAMPED solid surface
+        concentration (pbReactor.py:4774,5062) and enters the gas balance
+        with a NEGATIVE sign (:5268) -- the opposite sign convention of
+        pbHeterReactor.modelEquationM2;
+      * the particle reaction/enthalpy source terms are passed to the FD
+        builders UNSCALED (:5288,5468 vs pbHeterReactor.py:2752,2790 --
+        the (1/SoMaDiTe0)*(1-CaPo) factor is commented out inside the
+        builders, solFiDi.py:377,502);
+      * the particle's bulk values are the local RAW gas state at the same
+        z node (:5288 Ci_c, :5468 T_c), not staggered interface params."""
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    r_no = spec.r_no
+    z_no = spec.z_no
+    dz = 1.0 / (z_no - 1)
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+
+    def rhs(t, y, p, d):
+        eps = p["BeVoFr"]
+        rf = p["PaDi"] / 2
+        ca_po = p["CaPo"]
+        Y = y.reshape(n_comp + 1, r_no + 1, z_no)
+        c_raw = Y[:n_comp, 0, :]
+        T_dl = Y[n_comp, 0, :]
+        cs_store = Y[:n_comp, 1:, :]              # (n_comp, rNo, zNo)
+        ts_store = Y[n_comp, 1:, :]               # (rNo, zNo)
+
+        # ---------- gas phase ----------
+        c_cl = jnp.maximum(c_raw, EPS_CONST)
+        c_re = c_cl * d["Cmax"]
+        co_sp_re = jnp.sum(c_re, axis=0)
+        T_re = T_dl * p["T0"] + p["T0"]
+        mo_fri = c_re / co_sp_re
+
+        mi_mo_we = thermo.mixture_molecular_weight(mo_fri.T, d["mw"], "kg/mol")
+        ga_de = thermo.density_ig(mi_mo_we, co_sp_re * 1000.0)
+        ga_de_dl = ga_de / d["GaDe0"]
+
+        cp_mean = thermo.cp_mean(T_re, idx)
+        cp_mix = jnp.sum(mo_fri.T * cp_mean, axis=-1)
+        cp_dl = cp_mix / d["GaCpMeanMix0"]
+
+        qm = jnp.where(
+            p["Tm"] == 0, 0.0, p["U"] * p["EfHeTrAr"] * (p["Tm"] - T_re)
+        ) * 1e-3
+
+        # interphase film flux: raw gas state vs CLAMPED solid surface
+        cs_surf_cl = jnp.maximum(cs_store[:, 0, :], EPS_CONST)
+        mo_fli = d["MaTrCo"][:, None] * d["Cmax"] * (c_raw - cs_surf_cl)
+        ts_surf = ts_store[0, :]                   # raw
+
+        inv_m = 1.0 / (d["PeNuMa0"] * dz)
+        c_in = p["SpCoi0"] / d["Cmax"]
+        c_ghost = (c_in + inv_m * c_raw[:, 1]) / (inv_m + 1.0)
+        c_back = jnp.concatenate([c_ghost[:, None], c_raw[:, :-1]], axis=1)
+        c_fwd = jnp.concatenate([c_raw[:, 1:], c_raw[:, -2:-1]], axis=1)
+        dcdz = (c_raw - c_back) / dz
+        d2c = (c_fwd - 2 * c_raw + c_back) / dz**2
+
+        conv_c = -d["vDl"] * dcdz
+        disp_c = (eps / d["PeNuMa0"])[:, None] * d2c
+        # NEGATIVE interphase-flux sign (pbReactor.py:5268)
+        flux_c = (1.0 / d["GaMaCoTe0"]) * mo_fli * d["SpSuAr"]
+        dcdt_gas = (p["vf"] / (eps * p["ReLe"])) * (conv_c + disp_c - flux_c)
+
+        inv_h = 1.0 / (d["PeNuHe0"] * dz)
+        t_ghost = (inv_h * T_dl[1]) / (inv_h + 1.0)
+        t_back = jnp.concatenate([t_ghost[None], T_dl[:-1]])
+        t_fwd = jnp.concatenate([T_dl[1:], T_dl[-2:-1]])
+        dtdz = (T_dl - t_back) / dz
+        d2t = (t_fwd - 2 * T_dl + t_back) / dz**2
+
+        conv_t = -d["vDl"] * ga_de_dl * cp_dl * dtdz
+        disp_t = (1.0 / d["PeNuHe0"]) * (eps * 1.0) * d2t
+        flux_t = (
+            d["HeTrCo"] * d["SpSuAr"] * p["T0"] * (ts_surf - T_dl) * 1e-3
+        ) / d["GaHeCoTe0"]
+        exch_t = qm / d["GaHeCoTe0"]
+        dtdt_gas = (conv_t + disp_t + flux_t + exch_t) / (
+            ga_de_dl * cp_dl * eps * (p["ReLe"] / p["vf"])
+        )
+
+        # ---------- solid phase (per z node) ----------
+        def solid_node(cs_node, ts_node, cb_node, tb_node):
+            # cs_node (n_comp, rNo) storage order, ts_node (rNo,)
+            cs_cl = jnp.maximum(cs_node, EPS_CONST)
+            cs_re = cs_cl * d["Cmax"]
+            ts_re = ts_node * p["T0"] + p["T0"]
+            cos_sp_re = jnp.sum(cs_re, axis=0)
+            mo_frsi = (cs_re / cos_sp_re).T
+
+            rate_fn = lambda T_, mf_, sc_: spec.rates(
+                T_, p["P0"], mf_, sc_, p["kinetic_overrides"]
+            )
+            r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1), out_axes=1)(
+                ts_re, mo_frsi, cs_re
+            )
+            ri_r = jnp.einsum("mk,mr->kr", nu_comp, r0)   # (n_comp, rNo)
+
+            cp_mean_i = thermo.cp_mean(ts_re, idx)
+            so_cp_mix = jnp.sum(mo_frsi * cp_mean_i, axis=-1)
+            so_cp_eff_re = (
+                cos_sp_re * so_cp_mix * ca_po
+                + (1 - ca_po) * p["CaDe"] * p["CaSpHeCa"]
+            )
+
+            he_re_t = _energetics(spec, ts_re)
+            ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1)
+
+            cs_cf = cs_cl[:, ::-1]
+            ri_cf = ri_r[:, ::-1]          # raw, unscaled (quirk)
+            ts_cf = ts_node[::-1]
+
+            def per_species(cs_i, ri_i, ma_i, cb_i, gdii0_i):
+                a = particle_fd.build_c_residual(
+                    cs_i, ri_i, 1.0, ma_i, cb_i, gdii0_i, rf, flux_dir="rl"
+                )
+                return a[::-1] / (ca_po * rf**2 / gdii0_i)
+
+            dcs = jax.vmap(per_species)(
+                cs_cf, ri_cf, d["MaTrCo"], cb_node, p["GaDii0"]
+            )                                              # (n_comp, rNo)
+
+            dh_raw = -ov_he_re_t[::-1]                     # raw (quirk)
+            so_th_eff_conv = ca_po * p["GaThCoMix0"] / 1000.0
+            a_t = particle_fd.build_t_residual(
+                ts_cf, dh_raw, ca_po * 1.0, d["HeTrCo"] / 1000.0,
+                tb_node, so_th_eff_conv, rf,
+            )
+            dts = a_t[::-1] / (so_cp_eff_re * p["T0"] / d["SoHeDiTe0"])
+            return dcs, dts
+
+        dcs_sol, dts_sol = jax.vmap(
+            solid_node, in_axes=(2, 1, 1, 0), out_axes=(2, 2)
+        )(cs_store, ts_store, c_raw, T_dl)
+
+        dc = jnp.concatenate([dcdt_gas[:, None, :], dcs_sol], axis=1)
+        dt = jnp.concatenate([dtdt_gas[None, :], dts_sol], axis=0)
+        return jnp.concatenate([dc, dt[None]], axis=0).reshape(-1)
+
+    return rhs
 
 
 def make_m13_solid_residual(spec: M13Spec):

@@ -27,14 +27,45 @@ def banded_coloring(var_no: int, z_no: int):
     return colors, V, mask.astype(np.float64)
 
 
-def colored_jacobian(rhs_flat, var_no: int, z_no: int):
-    """Build jac(t, y, *args) -> (n, n) from 2*var_no JVPs of rhs_flat.
+def two_phase_coloring(n_layer: int, r_rows: int, z_no: int):
+    """Colors + sparsity mask for a (n_layer, r_rows, z_no) row-major state
+    of the coupled dynamic heterogeneous models (M10-M12): radial row 0 is
+    the gas phase (tridiagonal z-coupling: BD convection + CD dispersion +
+    Danckwerts ghost), rows >= 1 are the particle interior (no z-coupling;
+    full local coupling within a node through kinetics/energetics and to
+    the local gas bulk).
 
-    rhs_flat(t, y, *args) must have the block-bidiagonal MoL sparsity
-    (use a stop_gradient'ed variant if the physical RHS has weak global
-    couplings such as an axial pressure march).
-    """
-    colors, V, mask = banded_coloring(var_no, z_no)
+    Column color classes: each gas (layer,) variable needs 3 colors
+    (z mod 3 -- tridiagonal reach means columns 3 apart never hit a common
+    output row); each solid (layer, r) variable needs ONE color (its
+    columns touch only same-z rows, disjoint across z). Total
+    3*n_layer + n_layer*(r_rows-1) colors instead of
+    n_layer*r_rows*z_no dense tangents."""
+    n = n_layer * r_rows * z_no
+    idx = np.arange(n)
+    l_of = idx // (r_rows * z_no)
+    r_of = (idx // z_no) % r_rows
+    z_of = idx % z_no
+
+    gas = r_of == 0
+    n_gas_colors = 3 * n_layer
+    colors = np.where(
+        gas,
+        l_of * 3 + (z_of % 3),
+        n_gas_colors + l_of * (r_rows - 1) + (r_of - 1),
+    )
+    n_colors = n_gas_colors + n_layer * (r_rows - 1)
+    V = np.zeros((n_colors, n))
+    V[colors, idx] = 1.0
+    dzc = z_of[:, None] - z_of[None, :]
+    mask = (dzc == 0) | (gas[None, :] & (np.abs(dzc) <= 1))
+    return colors, V, mask.astype(np.float64)
+
+
+def colored_jacobian_from(rhs_flat, coloring):
+    """Build jac(t, y, *args) -> (n, n) from an explicit
+    (colors, V, mask) coloring (see banded_coloring / two_phase_coloring)."""
+    colors, V, mask = coloring
     V_j = jnp.asarray(V)
     mask_j = jnp.asarray(mask)
     colors_j = jnp.asarray(colors)
@@ -47,3 +78,13 @@ def colored_jacobian(rhs_flat, var_no: int, z_no: int):
         return jv[colors_j, :].T * mask_j.astype(y.dtype)
 
     return jac
+
+
+def colored_jacobian(rhs_flat, var_no: int, z_no: int):
+    """Build jac(t, y, *args) -> (n, n) from 2*var_no JVPs of rhs_flat.
+
+    rhs_flat(t, y, *args) must have the block-bidiagonal MoL sparsity
+    (use a stop_gradient'ed variant if the physical RHS has weak global
+    couplings such as an axial pressure march).
+    """
+    return colored_jacobian_from(rhs_flat, banded_coloring(var_no, z_no))

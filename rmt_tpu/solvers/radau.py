@@ -90,11 +90,13 @@ def _norm(v, scale):
     return jnp.sqrt(jnp.mean((v / scale) ** 2))
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6))
-def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3, args=None):
+@partial(jax.jit, static_argnums=(0, 5, 6, 8))
+def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3, args=None,
+           jac=None):
     """Integrate the stiff ODE dy/dt = f(t, y, *args); returns y at each ts.
 
-    ts must be increasing; ys[0] == y0.
+    ts must be increasing; ys[0] == y0. jac(t, y) optionally overrides the
+    dense autodiff Jacobian (e.g. a colored MoL Jacobian from ops.jacobian).
     """
     if args is not None:
         f_ = lambda t, y: f(t, y, *args)
@@ -118,7 +120,8 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
     eye_n = jnp.eye(n, dtype=dtype)
     eye_sn = jnp.eye(s * n, dtype=dtype)
 
-    jac = jax.jacfwd(f_, argnums=1)
+    if jac is None:
+        jac = jax.jacfwd(f_, argnums=1)
 
     # Mixed-precision linear algebra: on TPU, float64 LU/solve does not
     # compile (f64 is emulated elementwise only), and the Newton matrix is
