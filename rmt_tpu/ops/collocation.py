@@ -24,18 +24,24 @@ def build_matrices(xc: np.ndarray | None = None):
     """
     xc = SPHERICAL_POINTS_7 if xc is None else np.asarray(xc)
     n = xc.size
-    j = np.arange(n)
 
-    q = xc[:, None] ** (2 * j[None, :])
-    c = np.where(j[None, :] == 0, 0.0, 2 * j[None, :] * xc[:, None] ** np.maximum(2 * j[None, :] - 1, 0))
-    d = np.where(
-        j[None, :] == 0,
-        0.0,
-        np.where(
-            j[None, :] == 1,
-            2.0,
-            2 * j[None, :] * (2 * j[None, :] - 1) * xc[:, None] ** np.maximum(2 * j[None, :] - 2, 0),
-        ),
-    )
+    # scalar evaluation, entry by entry: x**k on a float scalar can differ
+    # from the vectorized array power by 1 ulp, and inv(Q) (condition
+    # number ~1e9 for the degree-12 basis) amplifies that to ~1e-10 in
+    # A/B -- scalar order keeps the operators bit-for-bit with the
+    # reference's loops (solOrCo.py:130-188)
+    q = np.zeros((n, n))
+    c = np.zeros((n, n))
+    d = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            q[i, j] = xc[i] ** (2 * j)
+            c[i, j] = 0.0 if j == 0 else (2 * j) * xc[i] ** (2 * j - 1)
+            if j == 0:
+                d[i, j] = 0.0
+            elif j == 1:
+                d[i, j] = 2.0
+            else:
+                d[i, j] = 2 * j * (2 * j - 1) * xc[i] ** (2 * j - 2)
     q_inv = np.linalg.inv(q)
-    return {"N": n, "Xc": xc, "Q": q, "A": c @ q_inv, "B": d @ q_inv}
+    return {"N": n, "Xc": xc, "Q": q, "A": np.dot(c, q_inv), "B": np.dot(d, q_inv)}

@@ -9,14 +9,17 @@ import math
 
 import numpy as np
 
-# default reactor/catalyst geometry (reference: data/inputDataReactor.py)
-REA_D = 0.0381       # reactor diameter [m]
-REA_L = 1.0          # bed length [m]
-BED_POR = 0.39       # bed porosity
-CAT_D = 0.002        # catalyst particle diameter [m]
-CAT_RHO = 1982.0     # catalyst density [kg/m^3]
-CAT_CP = 960.0       # catalyst specific heat [J/kg.K]
-BULK_RHO = CAT_RHO * (1 - BED_POR)
+from rmt_tpu.data import defaults as _defaults
+
+# default reactor/catalyst geometry, served by the package data layer
+# (rmt_tpu.data.defaults; values from reference data/inputDataReactor.py)
+REA_D = _defaults.REACTOR["rea_D"]
+REA_L = _defaults.REACTOR["rea_L"]
+BED_POR = _defaults.REACTOR["bed_por"]
+CAT_D = _defaults.CATALYST["cat_d"]
+CAT_RHO = _defaults.CATALYST["cat_rho"]
+CAT_CP = _defaults.CATALYST["cat_Cp"]
+BULK_RHO = _defaults.CATALYST["bulk_rho"]
 
 R_CONST = 8.314472
 
@@ -30,19 +33,10 @@ REACTION_SET = {
 
 
 def feed_mole_fraction(h2_cox_ratio=1.0, co2_co_ratio=0.5):
-    """Inlet mole fractions from H2/COx and CO2/CO ratios
-    (reference: data/initData.py:11-40; float32 rounding included)."""
-    y0_h2o = 0.00001
-    y0_ch3oh = 0.00001
-    y0_dme = 0.00001
-    tmf0 = 1 - (y0_h2o + y0_ch3oh + y0_dme)
-    cox = tmf0 / (h2_cox_ratio + 1)
-    y0_h2 = h2_cox_ratio * cox
-    y0_co2 = co2_co_ratio * cox
-    y0_co = cox - y0_co2
-    return np.array(
-        [y0_h2, y0_co2, y0_h2o, y0_co, y0_ch3oh, y0_dme], dtype=np.float32
-    )
+    """Inlet mole fractions from H2/COx and CO2/CO ratios, served by the
+    package data layer (rmt_tpu.data.setFeedMoleFraction; reference
+    data/initData.py:11-40, float32 rounding included)."""
+    return _defaults.setFeedMoleFraction(h2_cox_ratio, co2_co_ratio)
 
 
 def dme_kinetics(ca_be_de=BULK_RHO):
