@@ -41,6 +41,9 @@ _MODEL_IDS = {
     "N1": "steady-state homogenous packed bed reactor non-isothermal plug-flow",
     "N2": "dynamic homogenous packed bed reactor non-isothermal plug-flow",
     "T3": "steady-state pseudo-homogeneous packed bed with axial dispersion",
+    "M11": "dynamic heterogenous packed bed, coupled gas + FDM particle",
+    "M10": "dynamic heterogenous packed bed, OC particle, real units",
+    "M12": "dynamic heterogenous packed bed, OC particle, static interface",
     "M13": "dynamic heterogenous packed bed, gas/solid operator splitting",
     "M14": "steady-state heterogenous packed bed, gas + lumped catalyst phase",
 }
@@ -842,16 +845,26 @@ def _run_t3(model_input, opts):
     followed by a damped-Newton polish; the reference's fsolve from the
     0.5/0.25 flat guess diverges for strongly exothermic cases.
     """
+    from ..ops import stencils as _st
     from ..solvers import newton, radau
 
-    z_no = int(model_input.get("solver-config", {}).get("zNo", 10))
+    sc = model_input.get("solver-config", {})
+    mesh_mode = sc.get("mesh", "normal")
+    if mesh_mode != "normal":
+        # refined two-zone mesh (reference FiDiMeshGenerator path,
+        # homoModels.py:149-161; zMesh settings from solverSetting T1)
+        mesh = _st.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+        z_no = int(mesh["n_nodes"])
+    else:
+        mesh = None
+        z_no = int(sc.get("zNo", 10))
     spec = homo.build_spec(model_input, z_no=z_no)
     p = homo.t3_params(model_input)
-    key = ("T3", spec.comp_list, spec.iso_thermal, spec.z_no,
-           id(model_input["reaction-rates"]["VARS"]), jax.config.jax_enable_x64)
+    key = ("T3", spec.comp_list, spec.iso_thermal, spec.z_no, mesh_mode,
+           _kinetics_fingerprint(model_input), jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        res_fn = homo.make_t3_residual(spec)
+        res_fn = homo.make_t3_residual(spec, mesh=mesh)
 
         def run(pp):
             d = homo.t3_feed(spec, pp)
@@ -883,7 +896,10 @@ def _run_t3(model_input, opts):
     conc_re = c_dl * c_max                              # MAX-mode real values
     temp_re = (1.0 + theta) * float(model_input["operating-conditions"]["temperature"])
     mo_fri = conc_re / np.sum(conc_re, axis=0, keepdims=True)
-    data_xs = np.linspace(0.0, 1.0, spec.z_no)
+    data_xs = (
+        np.asarray(mesh["xs"]) if mesh is not None
+        else np.linspace(0.0, 1.0, spec.z_no)
+    )
     label_list = list(spec.comp_list) + ["Temperature"]
     data_y = np.concatenate([mo_fri, temp_re[None]], axis=0)
     xy_list = [[data_xs, row] for row in data_y]
@@ -977,6 +993,296 @@ def _run_m14(model_input, opts):
                 "dataYCoGas": conc_gas, "dataYCoSolid": conc_sol,
                 "dataYTempGas": temp_gas, "dataYTempSolid": temp_sol,
             }]}
+
+
+def _run_m11(model_input, opts):
+    """Dynamic heterogeneous packed bed with the particle interior carried
+    in the ODE state (reference: pbReactor.runM7 via rmtCore.M11Init).
+    One stiff MoL system over (noLayer, rNo+1, zNo) -- gas row + particle
+    rows -- integrated across the tNo output intervals in a single
+    multi-segment Radau run (the reference's per-interval re-seed,
+    pbReactor.py:4302, carries the state identically). The Newton matrices
+    use the two-phase colored Jacobian: 3 colors per gas variable + 1 per
+    solid (layer, r) variable instead of a dense sweep."""
+    from ..models import hetero_dyn
+    from ..ops import jacobian as jac_ops
+
+    sc = model_input.get("solver-config", {})
+    spec = hetero_dyn.m13_build_spec(
+        model_input,
+        z_no=int(sc.get("zNo", 10)),      # solverSetting T1.zNo
+        r_no=int(sc.get("rNo", 7)),       # T1.rNo.fdm
+        t_no=int(sc.get("tNo", 5)),       # T1.tNo
+    )
+    p = hetero_dyn.m13_params(model_input)
+    key = ("M11", spec.comp_list, spec.z_no, spec.r_no, spec.t_no,
+           tuple(model_input["reactions"].values()),
+           _kinetics_fingerprint(model_input),
+           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        rhs = hetero_dyn.make_m11_rhs(spec)
+        coloring = jac_ops.two_phase_coloring(
+            spec.n_layer, spec.r_no + 1, spec.z_no
+        )
+
+        def run(pp):
+            d = hetero_dyn.m13_feed(spec, pp)
+            y0 = hetero_dyn.m11_initial_state(spec, pp)
+            ts_grid = (
+                pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+            ).astype(y0.dtype)
+            jac = jac_ops.colored_jacobian_from(
+                lambda t, y: rhs(t, y, pp, d), coloring
+            )
+            ys, stats = radau.odeint(
+                rhs, y0, ts_grid, rtol=opts["rtol"], atol=opts["atol"],
+                args=(pp, d), jac=jac,
+            )
+            return ys[1:], stats, ts_grid
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+
+    start = timer()
+    ys_t, stats, ts_grid = runner(p)
+    _check_integration(stats, "M11")
+
+    ys_t = np.asarray(ys_t)
+    t_bounds = np.asarray(ts_grid)
+    n_comp, z_no = spec.n_comp, spec.z_no
+    data_xs = np.linspace(0.0, 1.0, z_no)
+    label_list = list(spec.comp_list) + ["Temperature"]
+
+    data_pack = []
+    for i in range(spec.t_no):
+        Y = ys_t[i].reshape(spec.n_layer, spec.r_no + 1, z_no)
+        conc_gas = Y[:n_comp, 0, :]
+        temp_gas = Y[n_comp, 0, :][None]
+        mo_fri = conc_gas / np.sum(conc_gas, axis=0)
+        data_ys = np.concatenate([mo_fri, temp_gas], axis=0)
+        data_pack.append({
+            "successStatus": True,
+            "dataTime": t_bounds[i + 1],
+            "dataYCon": conc_gas,
+            "dataYTemp": temp_gas,
+            "dataYs": data_ys,
+            # solid phase (dimensionless, radial storage order: row 0 =
+            # gas-solid interface, like the reference's dataYs1SolidPhase)
+            "dataYCons": Y[:n_comp, 1:, :],
+            "dataYTemps": Y[n_comp, 1:, :],
+        })
+
+    xy_list = [[data_xs, row] for row in data_pack[-1]["dataYs"]]
+    data_list = [
+        {"x": data_xs, "y": xy[1], "leg": leg}
+        for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Dimensionless Reactor Length", "")
+    elapsed = roundNum(timer() - start)
+    return {
+        "XYList": xy_list,
+        "dataList": data_list,
+        "dataPack": data_pack,
+        "computation-time": elapsed,
+        "solverStats": _stats_dict(stats),
+    }
+
+
+def _run_m10(model_input, opts):
+    """Dynamic heterogeneous packed bed in real units with an OC particle
+    (reference: pbReactor.runM6 via rmtCore.M10Init -- whose own RHS
+    cannot run; see models.hetero_dyn.make_m10_rhs for the documented
+    salvage). Reference defaults: zNo=100, tNo=10 (solverSetting S2)."""
+    from ..models import hetero_dyn
+    from ..ops import jacobian as jac_ops
+
+    sc = model_input.get("solver-config", {})
+    spec = hetero_dyn.m13_build_spec(
+        model_input,
+        z_no=int(sc.get("zNo", 100)),   # solverSetting S2.zNo
+        r_no=7,                         # S2.rNo -- the OC basis size
+        t_no=int(sc.get("tNo", 10)),    # S2.tNo
+    )
+    p = hetero_dyn.m10_params(model_input)
+    key = ("M10", spec.comp_list, spec.z_no, spec.r_no, spec.t_no,
+           tuple(model_input["reactions"].values()),
+           _kinetics_fingerprint(model_input),
+           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        rhs = hetero_dyn.make_m10_rhs(spec)
+        coloring = jac_ops.two_phase_coloring(
+            spec.n_layer, spec.r_no + 1, spec.z_no
+        )
+
+        def run(pp):
+            y0 = hetero_dyn.m10_initial_state(spec, pp)
+            ts_grid = (
+                pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+            ).astype(y0.dtype)
+            jac = jac_ops.colored_jacobian_from(
+                lambda t, y: rhs(t, y, pp), coloring
+            )
+            ys, stats = radau.odeint(
+                rhs, y0, ts_grid, rtol=opts["rtol"], atol=opts["atol"],
+                args=(pp,), jac=jac,
+            )
+            return ys[1:], stats, ts_grid
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+
+    start = timer()
+    ys_t, stats, ts_grid = runner(p)
+    _check_integration(stats, "M10")
+
+    ys_t = np.asarray(ys_t)
+    t_bounds = np.asarray(ts_grid)
+    n_comp, z_no = spec.n_comp, spec.z_no
+    data_xs = np.linspace(0.0, float(p["ReLe"]), z_no)
+    label_list = list(spec.comp_list) + ["Temperature"]
+
+    data_pack = []
+    for i in range(spec.t_no):
+        Y = ys_t[i].reshape(spec.n_layer, spec.r_no + 1, z_no)
+        conc_gas = Y[:n_comp, 0, :]                  # [kmol/m^3]
+        temp_gas = Y[n_comp, 0, :][None]             # [K]
+        mo_fri = conc_gas / np.sum(conc_gas, axis=0)
+        data_ys = np.concatenate([mo_fri, temp_gas], axis=0)
+        data_pack.append({
+            "successStatus": True,
+            "dataTime": t_bounds[i + 1],
+            "dataYCon": conc_gas,
+            "dataYTemp": temp_gas,
+            "dataYs": data_ys,
+            # particle profiles, OC points center-first (real units)
+            "dataYCons": Y[:n_comp, 1:, :],
+            "dataYTemps": Y[n_comp, 1:, :],
+        })
+
+    xy_list = [[data_xs, row] for row in data_pack[-1]["dataYs"]]
+    data_list = [
+        {"x": data_xs, "y": xy[1], "leg": leg}
+        for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Reactor Length (m)", "")
+    elapsed = roundNum(timer() - start)
+    return {
+        "XYList": xy_list,
+        "dataList": data_list,
+        "dataPack": data_pack,
+        "computation-time": elapsed,
+        "solverStats": _stats_dict(stats),
+    }
+
+
+def _run_m12(model_input, opts):
+    """Dynamic heterogeneous packed bed with an orthogonal-collocation
+    particle and a static (algebraically-updated) gas-solid interface
+    (reference: pbReactor.runM8 via rmtCore.M12Init -- whose own RHS
+    cannot run; see models.hetero_dyn.make_m12_rhs for the documented
+    salvage). Same integration scheme as M11; solid rows are the OC
+    points center-first, so rNo is pinned to the 7-point basis."""
+    from ..models import hetero_dyn
+    from ..ops import jacobian as jac_ops
+
+    sc = model_input.get("solver-config", {})
+    spec = hetero_dyn.m13_build_spec(
+        model_input,
+        z_no=int(sc.get("zNo", 10)),
+        r_no=7,                        # T1.rNo.oc -- the OC basis size
+        t_no=int(sc.get("tNo", 5)),
+    )
+    p = hetero_dyn.m13_params(model_input)
+    key = ("M12", spec.comp_list, spec.z_no, spec.r_no, spec.t_no,
+           tuple(model_input["reactions"].values()),
+           _kinetics_fingerprint(model_input),
+           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+    runner = _jit_cache.get(key)
+    if runner is None:
+        rhs = hetero_dyn.make_m12_rhs(spec)
+        coloring = jac_ops.two_phase_coloring(
+            spec.n_layer, spec.r_no + 1, spec.z_no
+        )
+
+        def run(pp):
+            d = hetero_dyn.m13_feed(spec, pp)
+            y0 = hetero_dyn.m11_initial_state(spec, pp)
+            ts_grid = (
+                pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+            ).astype(y0.dtype)
+            jac = jac_ops.colored_jacobian_from(
+                lambda t, y: rhs(t, y, pp, d), coloring
+            )
+            ys, stats = radau.odeint(
+                rhs, y0, ts_grid, rtol=opts["rtol"], atol=opts["atol"],
+                args=(pp, d), jac=jac,
+            )
+            surf = jax.vmap(
+                lambda y: hetero_dyn.m12_surface_values(spec, pp, d, y)
+            )(ys[1:])
+            return ys[1:], surf, stats, ts_grid
+
+        runner = jax.jit(run)
+        _jit_cache[key] = runner
+
+    start = timer()
+    ys_t, (cs_hat_t, ts_hat_t), stats, ts_grid = runner(p)
+    _check_integration(stats, "M12")
+
+    ys_t = np.asarray(ys_t)
+    cs_hat_t = np.asarray(cs_hat_t)
+    ts_hat_t = np.asarray(ts_hat_t)
+    t_bounds = np.asarray(ts_grid)
+    n_comp, z_no = spec.n_comp, spec.z_no
+    data_xs = np.linspace(0.0, 1.0, z_no)
+    label_list = list(spec.comp_list) + ["Temperature"]
+
+    data_pack = []
+    for i in range(spec.t_no):
+        Y = ys_t[i].reshape(spec.n_layer, spec.r_no + 1, z_no)
+        conc_gas = Y[:n_comp, 0, :]
+        temp_gas = Y[n_comp, 0, :][None]
+        mo_fri = conc_gas / np.sum(conc_gas, axis=0)
+        data_ys = np.concatenate([mo_fri, temp_gas], axis=0)
+        # solid profiles with the dead surface-storage row replaced by the
+        # recomputed algebraic interface value (OC order, center-first)
+        sol_c = cs_hat_t[i]
+        sol_t = ts_hat_t[i]
+        data_pack.append({
+            "successStatus": True,
+            "dataTime": t_bounds[i + 1],
+            "dataYCon": conc_gas,
+            "dataYTemp": temp_gas,
+            "dataYs": data_ys,
+            "dataYCons": sol_c,
+            "dataYTemps": sol_t,
+        })
+
+    xy_list = [[data_xs, row] for row in data_pack[-1]["dataYs"]]
+    data_list = [
+        {"x": data_xs, "y": xy[1], "leg": leg}
+        for xy, leg in zip(xy_list, label_list)
+    ]
+    if opts["display"]:
+        from ..io import plot as _plot
+
+        _plot.plot_xy_series(data_list, "Dimensionless Reactor Length", "")
+    elapsed = roundNum(timer() - start)
+    return {
+        "XYList": xy_list,
+        "dataList": data_list,
+        "dataPack": data_pack,
+        "computation-time": elapsed,
+        "solverStats": _stats_dict(stats),
+    }
 
 
 def _run_m13(model_input, opts):
@@ -1162,6 +1468,12 @@ def rmtExe(modelInput: Mapping[str, Any]):
         res_model = _run_t2(modelInput, _solver_options(modelInput))
     elif model_type == "T3":
         res_model = _run_t3(modelInput, _solver_options(modelInput))
+    elif model_type == "M11":
+        res_model = _run_m11(modelInput, _solver_options(modelInput))
+    elif model_type == "M10":
+        res_model = _run_m10(modelInput, _solver_options(modelInput))
+    elif model_type == "M12":
+        res_model = _run_m12(modelInput, _solver_options(modelInput))
     elif model_type == "M13":
         res_model = _run_m13(modelInput, _solver_options(modelInput))
     elif model_type == "M14":

@@ -392,7 +392,89 @@ def m11_initial_state(spec: M13Spec, p):
     ).reshape(-1)
 
 
-def make_m11_rhs(spec: M13Spec):
+def _gas_phase(spec: M13Spec, p, d, c_raw, T_dl, cs_surf, ts_surf):
+    """Shared gas-phase balance of the coupled dynamic hetero models
+    (modelEquationM7 gas rows, pbReactor.py:5119-5451; modelEquationM8
+    gas rows, :6846-7065): BD convection + CD dispersion with Danckwerts
+    BC1, film exchange against the given solid-surface values, NEGATIVE
+    interphase-flux sign. Returns (dcdt_gas, dtdt_gas, ga_de)."""
+    idx = spec.comp_idx
+    z_no = spec.z_no
+    dz = 1.0 / (z_no - 1)
+    eps = p["BeVoFr"]
+
+    c_cl = jnp.maximum(c_raw, EPS_CONST)
+    c_re = c_cl * d["Cmax"]
+    co_sp_re = jnp.sum(c_re, axis=0)
+    T_re = T_dl * p["T0"] + p["T0"]
+    mo_fri = c_re / co_sp_re
+
+    mi_mo_we = thermo.mixture_molecular_weight(mo_fri.T, d["mw"], "kg/mol")
+    ga_de = thermo.density_ig(mi_mo_we, co_sp_re * 1000.0)
+    ga_de_dl = ga_de / d["GaDe0"]
+
+    cp_mean = thermo.cp_mean(T_re, idx)
+    cp_mix = jnp.sum(mo_fri.T * cp_mean, axis=-1)
+    cp_dl = cp_mix / d["GaCpMeanMix0"]
+
+    qm = jnp.where(
+        p["Tm"] == 0, 0.0, p["U"] * p["EfHeTrAr"] * (p["Tm"] - T_re)
+    ) * 1e-3
+
+    mo_fli = d["MaTrCo"][:, None] * d["Cmax"] * (c_raw - cs_surf)
+
+    inv_m = 1.0 / (d["PeNuMa0"] * dz)
+    c_in = p["SpCoi0"] / d["Cmax"]
+    c_ghost = (c_in + inv_m * c_raw[:, 1]) / (inv_m + 1.0)
+    c_back = jnp.concatenate([c_ghost[:, None], c_raw[:, :-1]], axis=1)
+    c_fwd = jnp.concatenate([c_raw[:, 1:], c_raw[:, -2:-1]], axis=1)
+    dcdz = (c_raw - c_back) / dz
+    d2c = (c_fwd - 2 * c_raw + c_back) / dz**2
+
+    conv_c = -d["vDl"] * dcdz
+    disp_c = (eps / d["PeNuMa0"])[:, None] * d2c
+    flux_c = (1.0 / d["GaMaCoTe0"]) * mo_fli * d["SpSuAr"]
+    dcdt_gas = (p["vf"] / (eps * p["ReLe"])) * (conv_c + disp_c - flux_c)
+
+    inv_h = 1.0 / (d["PeNuHe0"] * dz)
+    t_ghost = (inv_h * T_dl[1]) / (inv_h + 1.0)
+    t_back = jnp.concatenate([t_ghost[None], T_dl[:-1]])
+    t_fwd = jnp.concatenate([T_dl[1:], T_dl[-2:-1]])
+    dtdz = (T_dl - t_back) / dz
+    d2t = (t_fwd - 2 * T_dl + t_back) / dz**2
+
+    conv_t = -d["vDl"] * ga_de_dl * cp_dl * dtdz
+    disp_t = (1.0 / d["PeNuHe0"]) * (eps * 1.0) * d2t
+    flux_t = (
+        d["HeTrCo"] * d["SpSuAr"] * p["T0"] * (ts_surf - T_dl) * 1e-3
+    ) / d["GaHeCoTe0"]
+    exch_t = qm / d["GaHeCoTe0"]
+    dtdt_gas = (conv_t + disp_t + flux_t + exch_t) / (
+        ga_de_dl * cp_dl * eps * (p["ReLe"] / p["vf"])
+    )
+    return dcdt_gas, dtdt_gas, ga_de
+
+
+def _ergun_march(p, d, ga_de, dz):
+    """Explicit Ergun pressure march on the real gas density: node z sees
+    P0 + dz*sum_{k<z} RHS_ergun(GaDe_k) (pbReactor.py:4856-4865). Frozen
+    for differentiation so the MoL Jacobian keeps the tridiagonal-gas/
+    local-solid sparsity the two-phase coloring assumes (the march couples
+    every upstream gas node into the solid kinetics, a ~1% effect)."""
+    eps = p["BeVoFr"]
+    su_ga_ve_re = d["vDl"] * p["vf"]
+    erg_a = 150.0 * p["GaViMix0"] * su_ga_ve_re / p["PaDi"] ** 2
+    erg_b = (1 - eps) ** 2 / eps**3
+    erg_c = 1.75 * ga_de * su_ga_ve_re**2 / p["PaDi"]
+    erg_d = (1 - eps) / eps**3
+    rhs_erg = -(erg_a * erg_b + erg_c * erg_d)
+    p_march = p["P0"] + dz * jnp.concatenate(
+        [jnp.zeros((1,), rhs_erg.dtype), jnp.cumsum(rhs_erg)[:-1]]
+    )
+    return jax.lax.stop_gradient(p_march)
+
+
+def make_m11_rhs(spec: M13Spec, scaled_sources: bool = True):
     """Coupled dynamic heterogeneous MoL RHS (reference modelEquationM7,
     pbReactor.py:4389-5491): one ODE system over (n_layer, rNo+1, zNo) --
     row 0 is the gas phase (axial dispersion + Danckwerts BC1, exactly the
@@ -403,12 +485,23 @@ def make_m11_rhs(spec: M13Spec):
         concentration (pbReactor.py:4774,5062) and enters the gas balance
         with a NEGATIVE sign (:5268) -- the opposite sign convention of
         pbHeterReactor.modelEquationM2;
-      * the particle reaction/enthalpy source terms are passed to the FD
-        builders UNSCALED (:5288,5468 vs pbHeterReactor.py:2752,2790 --
-        the (1/SoMaDiTe0)*(1-CaPo) factor is commented out inside the
-        builders, solFiDi.py:377,502);
       * the particle's bulk values are the local RAW gas state at the same
-        z node (:5288 Ci_c, :5468 T_c), not staggered interface params."""
+        z node (:5288 Ci_c, :5468 T_c), not staggered interface params;
+      * the Ergun pressure march is LIVE here: the solid kinetics at node z
+        use P_z[z] = P0 + dz*sum_{k<z} RHS_ergun(GaDe_k) (:4856-4865,4953),
+        unlike modelEquationM3 whose march is the identity.
+
+    scaled_sources: the reference passes the particle reaction/enthalpy
+    sources to the FD builders UNSCALED (:5288,5468), omitting the
+    (1/SoMaDiTe0)*(1-CaPo) factor that its own builders document as the
+    call-site's job (commented out inside them, solFiDi.py:377,502) and
+    that BOTH sibling models apply (modelEquationM3,
+    pbHeterReactor.py:2752,2790; modelEquationM8, pbReactor.py:6779,7022).
+    The omission makes the solid rows ~1e8x too fast -- the Jacobian
+    reaches Re(lambda) = -5e13 and NO integrator advances past ~1e-8 s
+    (the reference ships no test that runs this model). The driver
+    integrates the dimensionally consistent scaled form (default); parity
+    tests pin the raw quirk with scaled_sources=False."""
     idx = spec.comp_idx
     n_comp = spec.n_comp
     r_no = spec.r_no
@@ -417,7 +510,6 @@ def make_m11_rhs(spec: M13Spec):
     nu_comp = jnp.asarray(spec.stoich.nu_comp)
 
     def rhs(t, y, p, d):
-        eps = p["BeVoFr"]
         rf = p["PaDi"] / 2
         ca_po = p["CaPo"]
         Y = y.reshape(n_comp + 1, r_no + 1, z_no)
@@ -426,63 +518,17 @@ def make_m11_rhs(spec: M13Spec):
         cs_store = Y[:n_comp, 1:, :]              # (n_comp, rNo, zNo)
         ts_store = Y[n_comp, 1:, :]               # (rNo, zNo)
 
-        # ---------- gas phase ----------
-        c_cl = jnp.maximum(c_raw, EPS_CONST)
-        c_re = c_cl * d["Cmax"]
-        co_sp_re = jnp.sum(c_re, axis=0)
-        T_re = T_dl * p["T0"] + p["T0"]
-        mo_fri = c_re / co_sp_re
-
-        mi_mo_we = thermo.mixture_molecular_weight(mo_fri.T, d["mw"], "kg/mol")
-        ga_de = thermo.density_ig(mi_mo_we, co_sp_re * 1000.0)
-        ga_de_dl = ga_de / d["GaDe0"]
-
-        cp_mean = thermo.cp_mean(T_re, idx)
-        cp_mix = jnp.sum(mo_fri.T * cp_mean, axis=-1)
-        cp_dl = cp_mix / d["GaCpMeanMix0"]
-
-        qm = jnp.where(
-            p["Tm"] == 0, 0.0, p["U"] * p["EfHeTrAr"] * (p["Tm"] - T_re)
-        ) * 1e-3
-
-        # interphase film flux: raw gas state vs CLAMPED solid surface
+        # gas phase: film exchange against the CLAMPED solid surface row
+        # (pbReactor.py:4774,5062) and the raw surface temperature
         cs_surf_cl = jnp.maximum(cs_store[:, 0, :], EPS_CONST)
-        mo_fli = d["MaTrCo"][:, None] * d["Cmax"] * (c_raw - cs_surf_cl)
-        ts_surf = ts_store[0, :]                   # raw
-
-        inv_m = 1.0 / (d["PeNuMa0"] * dz)
-        c_in = p["SpCoi0"] / d["Cmax"]
-        c_ghost = (c_in + inv_m * c_raw[:, 1]) / (inv_m + 1.0)
-        c_back = jnp.concatenate([c_ghost[:, None], c_raw[:, :-1]], axis=1)
-        c_fwd = jnp.concatenate([c_raw[:, 1:], c_raw[:, -2:-1]], axis=1)
-        dcdz = (c_raw - c_back) / dz
-        d2c = (c_fwd - 2 * c_raw + c_back) / dz**2
-
-        conv_c = -d["vDl"] * dcdz
-        disp_c = (eps / d["PeNuMa0"])[:, None] * d2c
-        # NEGATIVE interphase-flux sign (pbReactor.py:5268)
-        flux_c = (1.0 / d["GaMaCoTe0"]) * mo_fli * d["SpSuAr"]
-        dcdt_gas = (p["vf"] / (eps * p["ReLe"])) * (conv_c + disp_c - flux_c)
-
-        inv_h = 1.0 / (d["PeNuHe0"] * dz)
-        t_ghost = (inv_h * T_dl[1]) / (inv_h + 1.0)
-        t_back = jnp.concatenate([t_ghost[None], T_dl[:-1]])
-        t_fwd = jnp.concatenate([T_dl[1:], T_dl[-2:-1]])
-        dtdz = (T_dl - t_back) / dz
-        d2t = (t_fwd - 2 * T_dl + t_back) / dz**2
-
-        conv_t = -d["vDl"] * ga_de_dl * cp_dl * dtdz
-        disp_t = (1.0 / d["PeNuHe0"]) * (eps * 1.0) * d2t
-        flux_t = (
-            d["HeTrCo"] * d["SpSuAr"] * p["T0"] * (ts_surf - T_dl) * 1e-3
-        ) / d["GaHeCoTe0"]
-        exch_t = qm / d["GaHeCoTe0"]
-        dtdt_gas = (conv_t + disp_t + flux_t + exch_t) / (
-            ga_de_dl * cp_dl * eps * (p["ReLe"] / p["vf"])
+        ts_surf = ts_store[0, :]
+        dcdt_gas, dtdt_gas, ga_de = _gas_phase(
+            spec, p, d, c_raw, T_dl, cs_surf_cl, ts_surf
         )
+        p_march = _ergun_march(p, d, ga_de, dz)
 
         # ---------- solid phase (per z node) ----------
-        def solid_node(cs_node, ts_node, cb_node, tb_node):
+        def solid_node(cs_node, ts_node, cb_node, tb_node, p_node):
             # cs_node (n_comp, rNo) storage order, ts_node (rNo,)
             cs_cl = jnp.maximum(cs_node, EPS_CONST)
             cs_re = cs_cl * d["Cmax"]
@@ -491,7 +537,7 @@ def make_m11_rhs(spec: M13Spec):
             mo_frsi = (cs_re / cos_sp_re).T
 
             rate_fn = lambda T_, mf_, sc_: spec.rates(
-                T_, p["P0"], mf_, sc_, p["kinetic_overrides"]
+                T_, p_node, mf_, sc_, p["kinetic_overrides"]
             )
             r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1), out_axes=1)(
                 ts_re, mo_frsi, cs_re
@@ -509,7 +555,12 @@ def make_m11_rhs(spec: M13Spec):
             ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1)
 
             cs_cf = cs_cl[:, ::-1]
-            ri_cf = ri_r[:, ::-1]          # raw, unscaled (quirk)
+            if scaled_sources:
+                ri_cf = (
+                    (1.0 / d["SoMaDiTe0"])[:, None] * (1 - ca_po) * ri_r
+                )[:, ::-1]
+            else:
+                ri_cf = ri_r[:, ::-1]      # raw (reference quirk)
             ts_cf = ts_node[::-1]
 
             def per_species(cs_i, ri_i, ma_i, cb_i, gdii0_i):
@@ -522,18 +573,457 @@ def make_m11_rhs(spec: M13Spec):
                 cs_cf, ri_cf, d["MaTrCo"], cb_node, p["GaDii0"]
             )                                              # (n_comp, rNo)
 
-            dh_raw = -ov_he_re_t[::-1]                     # raw (quirk)
+            dh = -ov_he_re_t[::-1]
+            if scaled_sources:
+                dh = (1.0 / d["SoHeDiTe0"]) * (1 - ca_po) * dh
             so_th_eff_conv = ca_po * p["GaThCoMix0"] / 1000.0
             a_t = particle_fd.build_t_residual(
-                ts_cf, dh_raw, ca_po * 1.0, d["HeTrCo"] / 1000.0,
+                ts_cf, dh, ca_po * 1.0, d["HeTrCo"] / 1000.0,
                 tb_node, so_th_eff_conv, rf,
             )
             dts = a_t[::-1] / (so_cp_eff_re * p["T0"] / d["SoHeDiTe0"])
             return dcs, dts
 
         dcs_sol, dts_sol = jax.vmap(
-            solid_node, in_axes=(2, 1, 1, 0), out_axes=(2, 2)
-        )(cs_store, ts_store, c_raw, T_dl)
+            solid_node, in_axes=(2, 1, 1, 0, 0), out_axes=(2, 1)
+        )(cs_store, ts_store, c_raw, T_dl, p_march)
+
+        dc = jnp.concatenate([dcdt_gas[:, None, :], dcs_sol], axis=1)
+        dt = jnp.concatenate([dtdt_gas[None, :], dts_sol], axis=0)
+        return jnp.concatenate([dc, dt[None]], axis=0).reshape(-1)
+
+    return rhs
+
+
+def make_m12_rhs(spec: M13Spec, cp_at_real_temperature: bool = True):
+    """Coupled dynamic heterogeneous MoL RHS with an orthogonal-collocation
+    particle and an algebraically-updated (static) gas-solid interface
+    (reference modelEquationM8, pbReactor.py:6050-7181). Gas rows are the
+    shared _gas_phase balance; solid rows 1..rNo are the OC points of
+    ops.collocation (center-first, row rNo = surface x=1).
+
+    Documented salvage -- the reference's own M8 path cannot run:
+      * every buildOrCoMatrix call passes const3=() and crashes in
+        buildLhsMatrix (constCT2[1], solCatParticle.py:150); the intended
+        Robin row is reconstructed in ops.oc_particle;
+      * the (N,1)-shaped interface vector broadcasts RY+f into an (N,N)
+        matrix (solCatParticle.py:229-232), and the mode="default" output
+        flip permutes the radial rows; both fixed by the aligned
+        oc_residual;
+      * per the runM8 docstring the interface is STATIC: its state row is
+        dead storage (derivative 0 -- the Robin row of the residual is
+        exactly zero after the update); physics and outputs use the
+        algebraically-updated surface value;
+      * cp_at_real_temperature=False reproduces the reference's unit bug
+        of evaluating solid Cp and reaction enthalpy at the DIMENSIONLESS
+        temperature theta ~ 0.05 K (pbReactor.py:6665,6684 use Ts_r[r]
+        where modelEquationM7:4994,5007 use Ts_r_ReVa[r]); the default
+        uses the real temperature.
+
+    Retained quirks (as the reference computes them where it runs):
+      * scaled particle sources _Ri = (1/SoMaDiTe0)*(1-CaPo)*ri and
+        _H = (1/SoHeDiTe0)*(1-CaPo)*(-OvHeReT) (:6779,7022) -- unlike
+        modelEquationM7's raw terms;
+      * kinetics evaluate the STORED (clamped) particle state incl. the
+        dead surface row (:6659-6670) with the live Ergun pressure march;
+      * interface transfer numbers betaC = (rf/GaDii0)*MaTrCo,
+        betaT = -(rf/(CaPo*GaThCoMix0/1000))*(HeTrCo/1000)/CaPo
+        (:6771-6775,7015-7019)."""
+    from ..ops import oc_particle
+
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    r_no = spec.r_no
+    z_no = spec.z_no
+    dz = 1.0 / (z_no - 1)
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    ops = oc_particle.oc_operator()
+    assert ops["N"] == r_no, (
+        f"M12 uses the {ops['N']}-point OC basis; got rNo={r_no}"
+    )
+
+    def rhs(t, y, p, d):
+        rf = p["PaDi"] / 2
+        ca_po = p["CaPo"]
+        Y = y.reshape(n_comp + 1, r_no + 1, z_no)
+        c_raw = Y[:n_comp, 0, :]
+        T_dl = Y[n_comp, 0, :]
+        cs_store = Y[:n_comp, 1:, :]              # (n_comp, rNo, zNo) OC order
+        ts_store = Y[n_comp, 1:, :]               # (rNo, zNo)
+
+        # --- algebraic interface update (vectorized over species x z) ---
+        cs_cl = jnp.maximum(cs_store, EPS_CONST)
+        beta_c = (rf / p["GaDii0"]) * d["MaTrCo"]                # (n_comp,)
+        cs_hat = oc_particle.interface_update(
+            jnp.moveaxis(cs_cl, 1, 2),                           # (n_comp, zNo, rNo)
+            c_raw, beta_c[:, None], ops["A"],
+        )
+        cs_hat = jnp.moveaxis(cs_hat, 2, 1)                      # back to (n_comp, rNo, zNo)
+
+        so_th_eff_conv = ca_po * p["GaThCoMix0"] / 1000.0
+        beta_t = (rf / so_th_eff_conv) * (-(d["HeTrCo"] / 1000.0) / ca_po)
+        ts_hat = oc_particle.interface_update(
+            ts_store.T, T_dl, beta_t, ops["A"]
+        ).T                                                      # (rNo, zNo)
+
+        # --- gas phase against the updated surface values ---
+        dcdt_gas, dtdt_gas, ga_de = _gas_phase(
+            spec, p, d, c_raw, T_dl, cs_hat[:, -1, :], ts_hat[-1, :]
+        )
+        p_march = _ergun_march(p, d, ga_de, dz)
+
+        # --- solid phase (per z node) ---
+        def solid_node(cs_node_cl, cs_node_hat, ts_node, ts_node_hat, p_node):
+            # kinetics/energetics on the STORED clamped state (quirk)
+            cs_re = cs_node_cl * d["Cmax"]
+            ts_re = ts_node * p["T0"] + p["T0"]
+            cos_sp_re = jnp.sum(cs_re, axis=0)
+            mo_frsi = (cs_re / cos_sp_re).T
+
+            rate_fn = lambda T_, mf_, sc_: spec.rates(
+                T_, p_node, mf_, sc_, p["kinetic_overrides"]
+            )
+            r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1), out_axes=1)(
+                ts_re, mo_frsi, cs_re
+            )
+            ri_r = jnp.einsum("mk,mr->kr", nu_comp, r0)          # (n_comp, rNo)
+
+            t_for_cp = ts_re if cp_at_real_temperature else ts_node
+            cp_mean_i = thermo.cp_mean(t_for_cp, idx)
+            so_cp_mix = jnp.sum(mo_frsi * cp_mean_i, axis=-1)
+            so_cp_eff_re = (
+                cos_sp_re * so_cp_mix * ca_po
+                + (1 - ca_po) * p["CaDe"] * p["CaSpHeCa"]
+            )
+            he_re_t = _energetics(spec, t_for_cp)
+            ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1)        # (rNo,)
+
+            ri_term = (1.0 / d["SoMaDiTe0"])[:, None] * (1 - ca_po) * ri_r
+            k_c = (ca_po / p["CaTo"]) * 1.0                      # SoDiiEff_DiLe
+            res_c = jax.vmap(
+                lambda ys, src, b, cb: oc_particle.oc_residual(
+                    ys, k_c, src, b, cb, ops
+                )
+            )(cs_node_hat, ri_term, beta_c, jnp.zeros_like(beta_c))
+            dcs = res_c * (p["GaDii0"] / (ca_po * rf**2))[:, None]
+
+            dh_term = (1.0 / d["SoHeDiTe0"]) * (1 - ca_po) * (-ov_he_re_t)
+            res_t = oc_particle.oc_residual(
+                ts_node_hat, ca_po * 1.0, dh_term, beta_t, 0.0, ops
+            )
+            dts = res_t / (so_cp_eff_re * p["T0"] / d["SoHeDiTe0"])
+            # the surface (Robin) row is exactly zero after the algebraic
+            # update for any bulk value -- pin it so the dead storage row
+            # carries no roundoff drift
+            dcs = dcs.at[:, -1].set(0.0)
+            dts = dts.at[-1].set(0.0)
+            return dcs, dts
+
+        dcs_sol, dts_sol = jax.vmap(
+            solid_node, in_axes=(2, 2, 1, 1, 0), out_axes=(2, 1)
+        )(cs_cl, cs_hat, ts_store, ts_hat, p_march)
+
+        dc = jnp.concatenate([dcdt_gas[:, None, :], dcs_sol], axis=1)
+        dt = jnp.concatenate([dtdt_gas[None, :], dts_sol], axis=0)
+        return jnp.concatenate([dc, dt[None]], axis=0).reshape(-1)
+
+    return rhs
+
+
+def m12_surface_values(spec: M13Spec, p, d, y):
+    """Recompute the algebraic gas-solid interface values for output
+    post-processing (the state's surface row is dead storage)."""
+    from ..ops import oc_particle
+
+    n_comp, r_no, z_no = spec.n_comp, spec.r_no, spec.z_no
+    rf = p["PaDi"] / 2
+    ops = oc_particle.oc_operator()
+    Y = y.reshape(n_comp + 1, r_no + 1, z_no)
+    cs_cl = jnp.maximum(Y[:n_comp, 1:, :], EPS_CONST)
+    beta_c = (rf / p["GaDii0"]) * d["MaTrCo"]
+    cs_hat = jnp.moveaxis(
+        oc_particle.interface_update(
+            jnp.moveaxis(cs_cl, 1, 2), Y[:n_comp, 0, :], beta_c[:, None],
+            ops["A"],
+        ), 2, 1,
+    )
+    so_th_eff_conv = p["CaPo"] * p["GaThCoMix0"] / 1000.0
+    beta_t = (rf / so_th_eff_conv) * (-(d["HeTrCo"] / 1000.0) / p["CaPo"])
+    ts_hat = oc_particle.interface_update(
+        Y[n_comp, 1:, :].T, Y[n_comp, 0, :], beta_t, ops["A"]
+    ).T
+    return cs_hat, ts_hat
+
+
+# hard-coded film-property constants of the reference's M6 RHS
+# (pbReactor.py:3398 GaViMix = 2.5e-5, :3415 GaThCoMix = 0.125)
+_M10_GA_VI_MIX = 2.5e-5
+_M10_GA_TH_CO_MIX = 0.125
+
+
+def m10_params(model_input: Mapping[str, Any]) -> dict[str, Any]:
+    """M10 inputs (reference runM6, pbReactor.py:2668-2860). The reference
+    RHS hard-codes the DME transport vectors (GaDii :3432, GaThCoi :3411);
+    we read the diffusivities from the feed -- passing the reference's
+    values reproduces it exactly."""
+    oc = model_input["operating-conditions"]
+    feed = model_input["feed"]
+    re_spec = model_input["reactor"]
+    ex_he = model_input.get(
+        "external-heat", {"OvHeTrCo": 0.0, "EfHeTrAr": 0.0, "MeTe": 0.0}
+    )
+    f = lambda x: jnp.asarray(x, dtype=jnp.result_type(float))
+    return {
+        "P0": f(oc["pressure"]),
+        "T0": f(oc["temperature"]),
+        "opT": f(oc.get("period", 1.0)),
+        "VoFlRa0": f(feed["volumetric-flowrate"]),
+        "SpCoi0": f(np.asarray(feed["concentration"], dtype=np.float64)),
+        "GaDii": f(np.asarray(feed["diffusivity"], dtype=np.float64)),
+        "GaMiVi": f(feed["mixture-viscosity"]),
+        "U": f(ex_he["OvHeTrCo"]),
+        "EfHeTrAr": f(ex_he["EfHeTrAr"]),
+        "Tm": f(ex_he["MeTe"]),
+        "ReInDi": f(re_spec["ReInDi"]),
+        "ReLe": f(re_spec["ReLe"]),
+        "PaDi": f(re_spec["PaDi"]),
+        "BeVoFr": f(re_spec["BeVoFr"]),
+        "CaBeDe": f(re_spec["CaBeDe"]),
+        "CaDe": f(re_spec["CaDe"]),
+        "CaSpHeCa": f(re_spec["CaSpHeCa"]),
+        "CaPo": f(re_spec["CaPo"]),
+        "CaTo": f(re_spec["CaTo"]),
+        "CaThCo": f(re_spec["CaThCo"]),
+        "kinetic_overrides": {
+            k: f(v) for k, v in model_input.get("kinetic-overrides", {}).items()
+        },
+    }
+
+
+def m10_initial_state(spec: M13Spec, p):
+    """M10 IV (pbReactor.py:2786-2813): feed concentrations and feed
+    temperature EVERYWHERE (gas and particle), real units."""
+    c = jnp.tile(p["SpCoi0"][:, None, None], (1, spec.r_no + 1, spec.z_no))
+    t = jnp.full((1, spec.r_no + 1, spec.z_no), p["T0"], c.dtype)
+    return jnp.concatenate([c, t], axis=0).reshape(-1)
+
+
+def make_m10_rhs(spec: M13Spec):
+    """Dynamic heterogeneous packed bed in REAL units with an OC particle
+    and live velocity/pressure marches (reference modelEquationM6,
+    pbReactor.py:3053-3801). State (n_layer, rNo+1, zNo): row 0 gas
+    [kmol/m^3, K], rows 1..rNo the OC points center-first.
+
+    Documented salvage (the reference M6 RHS cannot run -- same
+    solCatParticle crash bugs as M8, see make_m12_rhs): the OC rows are
+    kept aligned with their collocation points and the static surface row
+    carries zero derivative.
+
+    Retained quirks, as the reference computes them:
+      * gas-solid film fluxes use the STORED innermost OC row as the
+        "catalyst surface" (CosSpi_cat = CosSpi_r[0] :3326,3584; _Ts_r[0]
+        :3768) -- not the algebraically-updated surface;
+      * film coefficients recomputed per node from Re/Sc/Sh/Pr/Nu with the
+        hard-coded GaViMix=2.5e-5 / GaThCoMix=0.125 (:3398,3415,3440-3448,
+        3537-3542) while the Ergun equation uses the feed viscosity;
+      * BC2 sets the FORWARD neighbor to 0 (not zero-gradient) for both
+        species and temperature stencils (:3679,3750), and interior
+        backward neighbors are EPS-clamped (:3681,3686);
+      * axial heat dispersion is multiplied by zero (:3764);
+      * the velocity march integrates dv/dz from the EOS/flux balance
+        (:3619-3627) and the gas balance carries the -Ci*dv/dz term;
+      * solid heat capacity uses the GAS mixture Cp at the gas temperature,
+        one value per z (:3510).
+
+    The (P, v) march and the film coefficients derived from it are frozen
+    for differentiation (stop_gradient) so the Jacobian keeps the
+    tridiagonal-gas/local-solid sparsity of the two-phase coloring; the
+    film-flux terms themselves are recomputed with live states."""
+    from ..constants import R_CONST
+    from ..ops import oc_particle
+
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    r_no = spec.r_no
+    z_no = spec.z_no
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    ops = oc_particle.oc_operator()
+    assert ops["N"] == r_no, (
+        f"M10 uses the {ops['N']}-point OC basis; got rNo={r_no}"
+    )
+    mw = jnp.asarray(DB.MW[idx])
+
+    def rhs(t, y, p, d=None):
+        eps = p["BeVoFr"]
+        pa_ra = p["PaDi"] / 2
+        ca_po = p["CaPo"]
+        dz = p["ReLe"] / (z_no - 1)
+        cr_se_ar = PI_CONST * p["ReInDi"] ** 2 / 4
+        sp_su_ar = (3 / pa_ra) * (1 - eps)
+        so_dii_eff = (ca_po / p["CaTo"]) * p["GaDii"]
+        so_th_co_eff = p["CaThCo"] * (1 - ca_po) / p["CaTo"]
+
+        Y = y.reshape(n_comp + 1, r_no + 1, z_no)
+        c_raw = Y[:n_comp, 0, :]
+        T_z = Y[n_comp, 0, :]
+        cs_store = Y[:n_comp, 1:, :]
+        ts_store = Y[n_comp, 1:, :]
+
+        # --- per-node gas state (vectorized) ---
+        c_cl = jnp.maximum(c_raw, EPS_CONST)
+        co_sp = jnp.sum(c_cl, axis=0)
+        mo_fri = c_cl / co_sp
+        mi_mo_we = thermo.mixture_molecular_weight(mo_fri.T, mw, "kg/mol")
+        ga_de = thermo.density_ig(mi_mo_we, co_sp * 1000.0)
+        cp_mean = thermo.cp_mean(T_z, idx)
+        ga_cp_mix = jnp.sum(mo_fri.T * cp_mean, axis=-1)
+
+        v0 = p["VoFlRa0"] / cr_se_ar                 # SuGaVe0 (:3205-3207)
+        ga_th_co_eff = eps * _M10_GA_TH_CO_MIX
+
+        # dT/dz for the dv/dz balance; BC1 ghost via the /1000 constant
+        # (:3602), BC2/interior use the backward state value
+        mo_fl0 = co_sp[0] * v0
+        c1_v = ga_th_co_eff / (mo_fl0 * ga_cp_mix[0] / 1000.0)
+        t_b0_v = (p["T0"] * dz + c1_v * T_z[1]) / (dz + c1_v)
+        t_back_v = jnp.concatenate([t_b0_v[None], T_z[:-1]])
+        dxdt_v_T = (T_z - t_back_v) / dz
+
+        # clamped stored "surface" rows for the film fluxes (:3320,3326)
+        cs_surf_st = jnp.maximum(cs_store[:, 0, :], EPS_CONST)
+        ts_surf_st = ts_store[0, :]
+
+        # --- (P, v) march with film coefficients (sequential in z) ---
+        def march(carry, inp):
+            P, v = carry
+            ga_de_z, co_sp_z, T_c, dvT, cp_z, mimo_z, c_z, cs_z = inp
+            erg_a = 150.0 * p["GaMiVi"] * v / p["PaDi"] ** 2
+            erg_b = (1 - eps) ** 2 / eps**3
+            erg_c = 1.75 * ga_de_z * v**2 / p["PaDi"]
+            erg_d = (1 - eps) / eps**3
+            dxdt_p = -(erg_a * erg_b + erg_c * erg_d)
+
+            re_nu = film.reynolds(ga_de_z, v, p["PaDi"], _M10_GA_VI_MIX)
+            sc_nu = film.schmidt(ga_de_z, _M10_GA_VI_MIX, p["GaDii"])
+            sh_nu = film.sherwood(sc_nu, re_nu, film.FROSSLING)
+            ma_tr = film.mass_transfer_coefficient(sh_nu, p["GaDii"], p["PaDi"])
+            pr_nu = film.prandtl(cp_z, _M10_GA_VI_MIX, _M10_GA_TH_CO_MIX, mimo_z)
+            nu_nu = film.nusselt(pr_nu, re_nu)
+            he_tr = film.heat_transfer_coefficient(
+                nu_nu, _M10_GA_TH_CO_MIX, p["PaDi"]
+            )
+
+            mo_fli = ma_tr * (c_z - cs_z)
+            to_ma_tr = jnp.sum(mo_fli) * sp_su_ar
+            dxdt_v = (1.0 / (co_sp_z * 1000.0)) * (
+                (-v / R_CONST) * ((1.0 / T_c) * dxdt_p - (P / T_c**2) * dvT)
+                - to_ma_tr * 1000.0
+            )
+            out = (P, v, dxdt_v, ma_tr, he_tr)
+            return (P + dz * dxdt_p, v + dz * dxdt_v), out
+
+        (_, _), (P_z, v_z, dxdt_v, ma_tr_z, he_tr_z) = jax.lax.scan(
+            march, (p["P0"], v0),
+            (ga_de, co_sp, T_z, dxdt_v_T, ga_cp_mix, mi_mo_we,
+             c_raw.T, cs_surf_st.T),
+        )
+        P_z = jax.lax.stop_gradient(P_z)
+        v_z = jax.lax.stop_gradient(v_z)
+        dxdt_v = jax.lax.stop_gradient(dxdt_v)
+        ma_tr_z = jax.lax.stop_gradient(ma_tr_z).T   # (n_comp, zNo)
+        he_tr_z = jax.lax.stop_gradient(he_tr_z)     # (zNo,)
+
+        # live film fluxes with the frozen coefficients
+        mo_fli = ma_tr_z * (c_raw - cs_surf_st)      # (n_comp, zNo)
+
+        # --- gas species balance ---
+        c_bc1 = (
+            p["SpCoi0"][:, None] * dz
+            + (p["GaDii"] * eps / v_z[0])[:, None] * c_raw[:, 1:2]
+        ) / ((p["GaDii"] * eps / v_z[0])[:, None] + dz)
+        c_back = jnp.concatenate(
+            [c_bc1, jnp.maximum(c_raw[:, :-1], EPS_CONST)], axis=1
+        )
+        c_fwd = jnp.concatenate(
+            [c_raw[:, 1:], jnp.zeros((n_comp, 1), c_raw.dtype)], axis=1
+        )
+        dcdz = (c_raw - c_back) / dz
+        d2c = (c_back - 2 * c_raw + c_fwd) / dz**2
+        dcdt_gas = (1.0 / eps) * (
+            -v_z[None, :] * dcdz
+            - c_raw * dxdt_v[None, :]
+            + p["GaDii"][:, None] * eps * d2c
+            - mo_fli * sp_su_ar
+        )
+
+        # --- gas energy balance (dispersion zeroed, :3764) ---
+        mo_fl = co_sp * v_z
+        c1_t = ga_th_co_eff / (mo_fl[0] * ga_cp_mix[0] * 1000.0)
+        t_b0 = (p["T0"] * dz + c1_t * T_z[1]) / (dz + c1_t)
+        t_back = jnp.concatenate([t_b0[None], T_z[:-1]])
+        dtdz = (T_z - t_back) / dz
+        qm = jnp.where(
+            p["Tm"] == 0, 0.0, p["U"] * p["EfHeTrAr"] * (p["Tm"] - T_z)
+        ) * 1e-3
+        in_fl_t = he_tr_z * (ts_surf_st - T_z) * 1e-3
+        dtdt_gas = (1.0 / (co_sp * ga_cp_mix * eps)) * (
+            -(mo_fl * ga_cp_mix) * dtdz + in_fl_t * sp_su_ar + qm
+        )
+
+        # --- solid phase (per z node) ---
+        def solid_node(cs_node, ts_node, c_z, T_c, co_sp_z, cp_z,
+                       p_node, ma_tr, he_tr):
+            # cs_node (n_comp, rNo) OC order center-first, ts_node (rNo,) [K]
+            cs_cl = jnp.maximum(cs_node, EPS_CONST)
+            cos_sp = jnp.sum(cs_cl, axis=0)
+            mo_frsi = (cs_cl / cos_sp).T             # (rNo, n_comp)
+
+            rate_fn = lambda T_, mf_, sc_: spec.rates(
+                T_, p_node, mf_, sc_, p["kinetic_overrides"]
+            )
+            r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1), out_axes=1)(
+                ts_node, mo_frsi, cs_cl
+            )                                        # (n_rxn, rNo)
+            ri_r = jnp.einsum("mk,mr->kr", nu_comp, r0)
+
+            he_re_t = _energetics(spec, ts_node)     # (rNo, n_rxn)
+            ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1)
+
+            # solid heat capacity: GAS mixture Cp at the gas temperature,
+            # one value per z (:3510)
+            so_cp_eff = co_sp_z * cp_z * ca_po + (1 - ca_po) * p["CaDe"] * p["CaSpHeCa"]
+
+            beta_c = pa_ra * (ma_tr / so_dii_eff)    # (n_comp,)
+            beta_t = -1.0 * he_tr * pa_ra / so_th_co_eff
+
+            cs_hat = oc_particle.interface_update(
+                cs_cl, c_z, beta_c[:, None], ops["A"]
+            )                                        # (n_comp, rNo)
+            ts_hat = oc_particle.interface_update(ts_node, T_c, beta_t, ops["A"])
+
+            src_c = pa_ra**2 * ri_r                  # (:3722) source x PaRa^2
+            res_c = jax.vmap(
+                lambda ys, k, src: oc_particle.oc_residual(
+                    ys, k, src, 0.0, 0.0, ops
+                )
+            )(cs_hat, so_dii_eff, src_c)
+            dcs = res_c / (ca_po * pa_ra**2)
+
+            src_t = pa_ra**2 * (-ov_he_re_t)         # (:3790)
+            res_t = oc_particle.oc_residual(
+                ts_hat, so_th_co_eff / 1000.0, src_t, 0.0, 0.0, ops
+            )
+            dts = res_t / (so_cp_eff * pa_ra**2)
+            # static surface row (Robin residual is exactly zero after the
+            # algebraic update; pin against roundoff)
+            dcs = dcs.at[:, -1].set(0.0)
+            dts = dts.at[-1].set(0.0)
+            return dcs, dts
+
+        dcs_sol, dts_sol = jax.vmap(
+            solid_node, in_axes=(2, 1, 1, 0, 0, 0, 0, 0, 0), out_axes=(2, 1)
+        )(cs_store, ts_store, c_raw, T_z, co_sp, ga_cp_mix, P_z,
+          ma_tr_z.T, he_tr_z)
 
         dc = jnp.concatenate([dcdt_gas[:, None, :], dcs_sol], axis=1)
         dt = jnp.concatenate([dtdt_gas[None, :], dts_sol], axis=0)

@@ -472,26 +472,40 @@ def t3_initial_guess(spec: HomoSpec) -> jnp.ndarray:
     return g.reshape(-1)
 
 
-def make_t3_residual(spec: HomoSpec):
+def make_t3_residual(spec: HomoSpec, mesh=None):
     """Steady residual F(y) of the axial-dispersion model, vectorized over
     the z nodes (mirrors modelEquationT1, homoModels.py:540-1421).
 
-    Stencils (uniform mesh, solverSetting['T1']: dFdz=BD, d2Fdz2=CD):
-      * first derivative: backward difference everywhere;
+    Stencils (solverSetting['T1']: dFdz=BD, d2Fdz2=CD), built as per-node
+    weight rows by ops.stencils.axial_stencil_weights:
+      * first derivative: backward difference (non-uniform in the dense
+        zone of a refined mesh, homoModels.py:1214-1237);
       * second derivative: central, with a Danckwerts ghost node at the
-        inlet (homoModels.py:1158-1177) and a zero-gradient mirror at the
+        inlet (homoModels.py:1158-1213) and a zero-gradient mirror at the
         outlet (homoModels.py:1240-1256);
       * the raw (unclamped) state feeds the stencils while kinetics and
         properties see EPS-clamped concentrations (homoModels.py:885-894).
     The Ergun pressure march has no P feedback (unlike N2), so it is a pure
-    prefix sum.
+    prefix sum -- and it keeps the UNIFORM dz even on a refined mesh, as
+    the reference does (homoModels.py:963).
+
+    mesh: a two_zone_mesh(...) result for solver-config mesh != "normal"
+    (reference FiDiMeshGenerator path, homoModels.py:149-161); None for
+    the uniform grid.
     """
+    from ..ops import stencils as _st
+
     idx = spec.comp_idx
     n_comp = spec.n_comp
     z_no = spec.z_no
     nu_comp = jnp.asarray(spec.stoich.nu_comp)
     n_layer = n_comp + (0 if spec.iso_thermal else 1)
-    dz = 1.0 / (z_no - 1)
+    # the Ergun march steps with the UNIFORM-zone dz even on a refined
+    # mesh (the reference keeps meshSetting dz = data5 there,
+    # homoModels.py:963)
+    dz = float(mesh["dz_uniform"]) if mesh is not None else 1.0 / (z_no - 1)
+    ws = _st.axial_stencil_weights(z_no, mesh)
+    W1, W2, dz_bc1 = ws["W1"], ws["W2"], ws["dz_bc1"]
 
     def residual(y, p, d):
         Y = y.reshape(n_layer, z_no)
@@ -538,14 +552,12 @@ def make_t3_residual(spec: HomoSpec):
 
         v_dl = d["vDl"]
 
-        # mass stencils: backward d1, central d2, Danckwerts inlet ghost
-        inv_m = 1.0 / (d["PeNuMa0"] * dz)               # (n_comp,)
+        # mass stencils: per-node weight rows, Danckwerts inlet ghost
+        inv_m = 1.0 / (d["PeNuMa0"] * dz_bc1)           # (n_comp,)
         c_in = p["SpCoi0"] / d["Cmax"]
         c_ghost = (c_in + inv_m * c_raw[:, 1]) / (inv_m + 1.0)
-        c_back = jnp.concatenate([c_ghost[:, None], c_raw[:, :-1]], axis=1)
-        c_fwd = jnp.concatenate([c_raw[:, 1:], c_raw[:, -2:-1]], axis=1)
-        dcdz = (c_raw - c_back) / dz
-        d2c = (c_fwd - 2 * c_raw + c_back) / dz**2
+        dcdz = _st.apply_axial_weights(W1, c_raw, c_ghost[:, None])
+        d2c = _st.apply_axial_weights(W2, c_raw, c_ghost[:, None])
         res_c = (
             -v_dl * dcdz
             + (eps / d["PeNuMa0"])[:, None] * d2c
@@ -554,12 +566,10 @@ def make_t3_residual(spec: HomoSpec):
 
         rows = [res_c]
         if not spec.iso_thermal:
-            inv_h = 1.0 / (d["PeNuHe0"] * dz)
+            inv_h = 1.0 / (d["PeNuHe0"] * dz_bc1)
             t_ghost = (inv_h * T_dl[1]) / (inv_h + 1.0)  # T*_in = 0
-            t_back = jnp.concatenate([t_ghost[None], T_dl[:-1]])
-            t_fwd = jnp.concatenate([T_dl[1:], T_dl[-2:-1]])
-            dtdz = (T_dl - t_back) / dz
-            d2t = (t_fwd - 2 * T_dl + t_back) / dz**2
+            dtdz = _st.apply_axial_weights(W1, T_dl, t_ghost)
+            d2t = _st.apply_axial_weights(W2, T_dl, t_ghost)
             res_t = (
                 -v_dl * ga_de_dl * cp_mix_dl * dtdz
                 + (1.0 / d["PeNuHe0"]) * d2t

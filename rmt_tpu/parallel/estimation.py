@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..models import homo
 from ..solvers import fixed
+from ..solvers.implicit_diff import radau_fixed
 
 
 def simulate_n2_fixed(spec: homo.HomoSpec, params, theta: Mapping[str, Any], n_steps: int = 200):
@@ -36,6 +37,31 @@ def simulate_n2_fixed(spec: homo.HomoSpec, params, theta: Mapping[str, Any], n_s
     return ys[-1]
 
 
+def simulate_n2_implicit(spec: homo.HomoSpec, params, theta: Mapping[str, Any],
+                         n_steps: int = 64, rhs=None):
+    """Differentiable N2 trajectory over the FULL operating period with
+    kinetic overrides theta, on the L-stable fixed-step Radau with IFT
+    stage solves (solvers/implicit_diff.py). Unlike simulate_n2_fixed,
+    this handles the real stiffness: the 0.5 s DME period integrates at
+    n_steps ~ 64 where explicit RK4 requires h ~ 1e-6 s for stability.
+    Returns the final dimensionless state (varNo*zNo,).
+
+    rhs: optionally a prebuilt make_n2_rhs(spec) closure. When this call
+    runs inside a jit/vmap trace the closure MUST be built outside it
+    (make_estimation_step does); a closure constructed mid-trace reaches
+    the IFT custom_vjp's static spec and trips XLA constant lowering."""
+    p = dict(params)
+    p["kinetic_overrides"] = {**params.get("kinetic_overrides", {}), **theta}
+    d = homo.feed_state(spec, p)
+    y0 = homo.n2_initial_state(spec, p, d)
+    if rhs is None:
+        rhs = homo.make_n2_rhs(spec)
+    return radau_fixed(
+        lambda t, y, a: rhs(t, y, a[0], a[1]),
+        y0, (0.0, p["opT"]), n_steps, args=(p, d),
+    )
+
+
 def outlet_mole_fractions(spec: homo.HomoSpec, y_final):
     """Outlet (z = L) mole fractions from the final dimensionless state."""
     Y = y_final.reshape(spec.var_no_n2, spec.z_no)
@@ -50,17 +76,28 @@ def make_estimation_step(
     param_names: Sequence[str] = ("K1", "K2", "K3"),
     n_steps: int = 200,
     lr: float = 1e-2,
+    integrator: str = "rk4",    # "rk4" (short horizons) | "radau" (stiff)
 ):
     """Build a jitted SGD step over log-kinetic-constants.
 
     theta holds log-space parameters (kinetic constants are positive and
     span decades); the loss is the ensemble MSE of outlet mole fractions.
+    integrator="radau" routes through the IFT-differentiable implicit
+    solver and handles the full stiff operating period.
     Returns step(theta, params_batch) -> (theta_new, loss).
     """
+    if integrator == "radau":
+        # build the RHS closure once, OUTSIDE the jitted/vmapped traces
+        rhs = homo.make_n2_rhs(spec)
+        simulate = lambda sp, q, th, n: simulate_n2_implicit(
+            sp, q, th, n, rhs=rhs
+        )
+    else:
+        simulate = simulate_n2_fixed
 
     def member_loss(q, th, tgt):
         theta = {k: jnp.exp(th[k]) for k in param_names}
-        yf = simulate_n2_fixed(spec, q, theta, n_steps)
+        yf = simulate(spec, q, theta, n_steps)
         mf = outlet_mole_fractions(spec, yf)
         return jnp.sum((mf - tgt) ** 2)
 
