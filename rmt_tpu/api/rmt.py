@@ -62,7 +62,7 @@ _DEFAULT_ATOL = 1e-10
 # hides typos like "rtoll")
 _SOLVER_CONFIG_KEYS = {
     "ivp", "root", "mesh", "display-result", "rtol", "atol",
-    "zNo", "tNo", "timesNo", "rNo",
+    "zNo", "tNo", "timesNo", "rNo", "rampList",
 }
 _ROOT_METHODS = {"default", "fsolve", "root", "least_squares"}
 
@@ -281,10 +281,11 @@ def _n2_runner(spec: homo.HomoSpec, opts):
     rhs = homo.make_n2_rhs(spec)
     rtol, atol = opts["rtol"], opts["atol"]
 
-    def run(p):
+    def run(p, y0, t_start):
         d = homo.feed_state(spec, p)
-        y0 = homo.n2_initial_state(spec, p, d)
-        ts = (p["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(y0.dtype)
+        ts = (
+            t_start + p["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+        ).astype(y0.dtype)
         if opts["ivp"] == "AM":
             n = _SOLVER_SETTING["AM_n"]
 
@@ -318,7 +319,32 @@ def _run_n2(model_input, spec: homo.HomoSpec, opts):
     if runner is None:
         runner = _n2_runner(spec, opts)
         _jit_cache[key] = runner
-    ys, stats = runner(p)
+
+    # checkpoint/resume: the reference's dynamic models re-seed the IV from
+    # the previous interval in memory only (pbHomoReactor.py:3684-3685);
+    # here the raw integration state is a first-class artifact -- every run
+    # returns a "checkpoint" and accepts one back via
+    # modelInput["resume-state"] to continue where it stopped
+    resume = model_input.get("resume-state")
+    if resume is not None:
+        if resume.get("model") != model_input["model"]:
+            raise ValueError(
+                f"resume-state is for model {resume.get('model')!r}, "
+                f"not {model_input['model']!r}"
+            )
+        y_init = jnp.asarray(np.asarray(resume["state"], dtype=np.float64))
+        expect = spec.var_no_n2 * spec.z_no
+        if y_init.shape != (expect,):
+            raise ValueError(
+                f"resume-state has {y_init.shape} entries; this grid needs "
+                f"({expect},)"
+            )
+        t_start = float(resume.get("t", 0.0))
+    else:
+        d0 = homo.feed_state(spec, p)
+        y_init = homo.n2_initial_state(spec, p, d0)
+        t_start = 0.0
+    ys, stats = runner(p, y_init, jnp.asarray(t_start))
     stats_d = _check_integration(stats, "N2")
     ys = np.asarray(ys)
 
@@ -332,7 +358,7 @@ def _run_n2(model_input, spec: homo.HomoSpec, opts):
     c_max = np.max(sp_coi0)
     Tf = float(p["T0"])
     op_t = float(p["opT"])
-    t_bounds = op_t * np.linspace(0.0, 1.0, spec.t_no + 1)
+    t_bounds = t_start + op_t * np.linspace(0.0, 1.0, spec.t_no + 1)
 
     label_list = comp_list + ["Temperature"]
     data_xs = np.linspace(0.0, 1.0, z_no)
@@ -375,6 +401,11 @@ def _run_n2(model_input, spec: homo.HomoSpec, opts):
         "computation-time": elapsed,
         "dataPack": data_pack,
         "solverStats": stats_d,
+        "checkpoint": {
+            "model": model_input["model"],
+            "t": float(t_bounds[-1]),
+            "state": ys[-1].copy(),
+        },
     }
 
 
@@ -736,14 +767,30 @@ def _run_t1(model_input, opts):
     opts = dict(opts)
     opts["rtol"] = float(sc.get("rtol", 1e-3))
     opts["atol"] = float(sc.get("atol", 1e-6))
+    # radial discretization: "fdm" (default) or "oc" (reference
+    # test-const numerical-method, particleModels.py:165-184; its OC
+    # branch crashes -- models.particle.make_t1_rhs_oc documents the
+    # reconstruction)
+    method = (
+        model_input.get("test-const", {}).get("numerical-method")
+        or model_input.get("operating-conditions", {}).get("numerical-method")
+        or "fdm"
+    )
     spec = particle.build_spec(model_input)
     p = particle.build_params(model_input)
     key = ("T1", spec.comp_list, spec.iso_thermal, spec.r_no, spec.t_no,
-           _kinetics_fingerprint(model_input),
+           method, _kinetics_fingerprint(model_input),
            opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        rhs = particle.make_t1_rhs(spec)
+        # OC drives the FDM branch's (raw-source) equations on the OC
+        # basis: the reference OC branch's scaled sources trap the DME
+        # trajectory in the clamped near-zero kinetics regime (see
+        # make_t1_rhs_oc)
+        rhs = (
+            particle.make_t1_rhs_oc(spec, scaled_sources=False)
+            if method == "oc" else particle.make_t1_rhs(spec)
+        )
 
         def run(pp):
             y0 = particle.t1_initial_state(spec, pp)
@@ -766,6 +813,10 @@ def _run_t1(model_input, opts):
     data_pack = []
     for i in range(spec.t_no):
         resh = ys[i + 1].reshape(spec.n_layer, spec.r_no)
+        if method == "oc":
+            # the OC surface row is dead storage; report the recomputed
+            # algebraic interface value
+            resh = np.asarray(particle.t1_oc_surface_values(spec, p, ys[i + 1]))
         conc_dl, conc_re, mo_fri, temp_dl, temp_re = _particle_sort(spec, resh, p)
         data_pack.append({
             "successStatus": True,
@@ -938,8 +989,18 @@ def _run_m14(model_input, opts):
             "'non-iso-thermal'"
         )
     p = hetero.m14_params(model_input)
-    key = ("M14", spec.comp_list, spec.iso_thermal, spec.z_no,
-           id(model_input["reaction-rates"]["VARS"]), jax.config.jax_enable_x64)
+    # rampList kinetics continuation (reference solSetting.py:62,
+    # pbReactor.py:7615-7643: solve at each ramp in turn, re-seeding from
+    # the previous solution; default [1] = a single full-kinetics solve).
+    # PTC from the feed profile handles the first ramp; later ramps start
+    # from the previous converged state and only need the Newton polish.
+    ramp_list = tuple(
+        float(r) for r in model_input.get("solver-config", {}).get(
+            "rampList", [1.0]
+        )
+    )
+    key = ("M14", spec.comp_list, spec.iso_thermal, spec.z_no, ramp_list,
+           _kinetics_fingerprint(model_input), jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
         res_fn = hetero.make_m14_residual(spec)
@@ -947,19 +1008,27 @@ def _run_m14(model_input, opts):
         def run(pp):
             d = hetero.m14_feed(spec, pp)
             S = hetero.m14_row_scales(spec, pp, d)
-            res_s = lambda yy: res_fn(yy, pp, d, 1.0) / S
             c_in = (pp["SpCoi0"] / d["Cmax"])[:, None, None] * jnp.ones(
                 (1, 2, spec.z_no)
             )
             y0 = jnp.concatenate(
                 [c_in, jnp.zeros((1, 2, spec.z_no), c_in.dtype)], axis=0
             ).reshape(-1)
+            res_s0 = lambda yy: res_fn(yy, pp, d, ramp_list[0]) / S
             ys, _ = radau.odeint(
-                lambda t, yy: res_s(yy), y0,
+                lambda t, yy: res_s0(yy), y0,
                 jnp.asarray([0.0, 20.0], y0.dtype), rtol=1e-7, atol=1e-10,
             )
-            sol = newton.root(res_s, ys[-1], max_iter=60, tol=1e-8)
-            return sol.x, sol.converged, sol.residual_norm
+            x = ys[-1]
+            converged = jnp.asarray(True)
+            res_norm = jnp.asarray(0.0, x.dtype)
+            for ramp in ramp_list:
+                res_s = lambda yy, r=ramp: res_fn(yy, pp, d, r) / S
+                sol = newton.root(res_s, x, max_iter=60, tol=1e-8)
+                x = sol.x
+                converged = converged & sol.converged
+                res_norm = jnp.maximum(res_norm, sol.residual_norm)
+            return x, converged, res_norm
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
@@ -995,6 +1064,20 @@ def _run_m14(model_input, opts):
             }]}
 
 
+def _hetero_dyn_tols(model_input, opts):
+    """Tolerance defaults for the coupled dynamic heterogeneous models
+    (M10-M12): their product/near-zero concentration components sit at
+    ~1e-12..1e-30 after the violent seed transient, and a tight atol makes
+    the step controller reject forever on their noise. rtol 1e-5 /
+    atol 1e-6 integrates the full operating period in a few hundred steps
+    (still far tighter than the reference's LSODA rtol=1e-3 default);
+    explicit solver-config values win."""
+    sc = model_input.get("solver-config", {})
+    rtol = float(sc["rtol"]) if "rtol" in sc else 1e-5
+    atol = float(sc["atol"]) if "atol" in sc else 1e-6
+    return rtol, atol
+
+
 def _run_m11(model_input, opts):
     """Dynamic heterogeneous packed bed with the particle interior carried
     in the ODE state (reference: pbReactor.runM7 via rmtCore.M11Init).
@@ -1015,10 +1098,11 @@ def _run_m11(model_input, opts):
         t_no=int(sc.get("tNo", 5)),       # T1.tNo
     )
     p = hetero_dyn.m13_params(model_input)
+    rtol, atol = _hetero_dyn_tols(model_input, opts)
     key = ("M11", spec.comp_list, spec.z_no, spec.r_no, spec.t_no,
            tuple(model_input["reactions"].values()),
            _kinetics_fingerprint(model_input),
-           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+           rtol, atol, jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
         rhs = hetero_dyn.make_m11_rhs(spec)
@@ -1036,7 +1120,7 @@ def _run_m11(model_input, opts):
                 lambda t, y: rhs(t, y, pp, d), coloring
             )
             ys, stats = radau.odeint(
-                rhs, y0, ts_grid, rtol=opts["rtol"], atol=opts["atol"],
+                rhs, y0, ts_grid, rtol=rtol, atol=atol,
                 args=(pp, d), jac=jac,
             )
             return ys[1:], stats, ts_grid
@@ -1108,10 +1192,11 @@ def _run_m10(model_input, opts):
         t_no=int(sc.get("tNo", 10)),    # S2.tNo
     )
     p = hetero_dyn.m10_params(model_input)
+    rtol, atol = _hetero_dyn_tols(model_input, opts)
     key = ("M10", spec.comp_list, spec.z_no, spec.r_no, spec.t_no,
            tuple(model_input["reactions"].values()),
            _kinetics_fingerprint(model_input),
-           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+           rtol, atol, jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
         rhs = hetero_dyn.make_m10_rhs(spec)
@@ -1128,7 +1213,7 @@ def _run_m10(model_input, opts):
                 lambda t, y: rhs(t, y, pp), coloring
             )
             ys, stats = radau.odeint(
-                rhs, y0, ts_grid, rtol=opts["rtol"], atol=opts["atol"],
+                rhs, y0, ts_grid, rtol=rtol, atol=atol,
                 args=(pp,), jac=jac,
             )
             return ys[1:], stats, ts_grid
@@ -1201,10 +1286,11 @@ def _run_m12(model_input, opts):
         t_no=int(sc.get("tNo", 5)),
     )
     p = hetero_dyn.m13_params(model_input)
+    rtol, atol = _hetero_dyn_tols(model_input, opts)
     key = ("M12", spec.comp_list, spec.z_no, spec.r_no, spec.t_no,
            tuple(model_input["reactions"].values()),
            _kinetics_fingerprint(model_input),
-           opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
+           rtol, atol, jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
         rhs = hetero_dyn.make_m12_rhs(spec)
@@ -1222,7 +1308,7 @@ def _run_m12(model_input, opts):
                 lambda t, y: rhs(t, y, pp, d), coloring
             )
             ys, stats = radau.odeint(
-                rhs, y0, ts_grid, rtol=opts["rtol"], atol=opts["atol"],
+                rhs, y0, ts_grid, rtol=rtol, atol=atol,
                 args=(pp, d), jac=jac,
             )
             surf = jax.vmap(

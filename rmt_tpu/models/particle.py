@@ -195,6 +195,141 @@ def make_t1_rhs(spec: ParticleSpec):
 
 
 
+def make_t1_rhs_oc(spec: ParticleSpec, scaled_sources: bool = True):
+    """Dynamic particle RHS on the 7-point orthogonal-collocation basis
+    (reference modelEquationT1 OC branch, particleModels.py:1016-1030 mass
+    and :1070-1090 heat -- which crashes inside solCatParticle before one
+    evaluation, see ops/oc_particle.py, so the intended semantics are
+    reconstructed on the aligned assembler).
+
+    Layout: radial index in OC order, 0 = innermost point, rNo-1 = the
+    gas-solid surface (the FDM branch stores interface-first; the
+    reference feeds the same storage to both, which cannot be consistent
+    -- documented deviation). The surface value is updated algebraically
+    from the Robin row each call (static row, zero derivative), matching
+    the reference's CalUpdateYnSolidGasInterface + buildOrCoMatrix flow.
+    scaled_sources=True reproduces the OC branch's scaled _Ri/_H sources
+    (:1023,1079) -- which are NOT the FDM branch's equations (the FDM path
+    passes the raw terms, :1010); under the scaled dynamics the DME
+    trajectory collapses into the clamped near-zero kinetics regime
+    (measured Re(lambda) spans +7e10 to -4e30) and no integrator leaves
+    it. The driver therefore integrates scaled_sources=False: the SAME
+    equations as the proven FDM branch on the OC basis, which also makes
+    OC-vs-FDM cross-consistency meaningful. The heat transfer number
+    keeps the branch's positive sign (:1077, the physical Robin
+    orientation -- the FDM builders carry the negated one)."""
+    from ..ops import oc_particle
+
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    r_no = spec.r_no
+    n_layer = spec.n_layer
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    eq_idx = spec.stoich.eq_idx
+    eq_nu = jnp.asarray(spec.stoich.eq_nu)
+    dh25 = jnp.asarray(spec.stoich.dh_rxn_25)
+    ops = oc_particle.oc_operator()
+    assert ops["N"] == r_no, (
+        f"the OC branch uses the {ops['N']}-point basis; got rNo={r_no}"
+    )
+
+    def rhs(t, y, p):
+        rf = p["PaDi"] / 2
+        ca_po = p["CaPo"]
+
+        Y = y.reshape(n_layer, r_no)
+        cs = jnp.maximum(Y[:n_comp], EPS_CONST)
+        c_max = jnp.max(p["SpCoi0"])
+        ts = Y[n_comp] if not spec.iso_thermal else jnp.zeros((r_no,), y.dtype)
+
+        # algebraic gas-solid interface
+        c_b = p["Cbi"] / jnp.max(p["Cbi"])
+        beta_c = (rf / p["GaDii0"]) * p["MaTrCo"]       # (n_comp,)
+        cs_hat = oc_particle.interface_update(cs, c_b, beta_c, ops["A"])
+        so_th_conv = p["GaThCoMix0"] / 1000.0           # SoThCoEff_Conv (:1073)
+        beta_t = (rf / so_th_conv) * (p["HeTrCo"] / 1000.0) / ca_po
+        tb_dile = (p["Tb"] - p["T0"]) / p["T0"]
+        ts_hat = oc_particle.interface_update(ts, tb_dile, beta_t, ops["A"])
+
+        # kinetics/energetics on the stored clamped state (as the FDM
+        # branch and the reference OC branch both do)
+        cs_re = cs * c_max
+        ts_re = ts * p["T0"] + p["T0"]
+        cos_sp_re = jnp.sum(cs_re, axis=0)
+        mo_fri = (cs_re / cos_sp_re).T
+        rate_fn = lambda T_, mf_, sc_: spec.rates(
+            T_, p["P0"], mf_, sc_, p["kinetic_overrides"]
+        )
+        r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1), out_axes=1)(
+            ts_re, mo_fri, cs_re
+        )
+        ri_r = jnp.einsum("mk,mz->kz", nu_comp, r0)
+
+        so_ma_di_te0 = (p["GaDii0"] * c_max) / rf**2
+        so_he_di_te0 = (p["GaThCoMix0"] * p["T0"] / rf**2) * 1e-3
+
+        if scaled_sources:
+            ri_term = (1.0 / so_ma_di_te0)[:, None] * (1 - ca_po) * ri_r
+        else:
+            ri_term = ri_r                      # raw, as the FDM branch
+        res_c = jax.vmap(
+            lambda ys, src, b, cb: oc_particle.oc_residual(
+                ys, 1.0, src, b, cb, ops      # SoDiiEff_DiLe = 1 (:943)
+            )
+        )(cs_hat, ri_term, beta_c, c_b)
+        dcs = res_c * (p["GaDii0"] / (ca_po * rf**2))[:, None]
+        dcs = dcs.at[:, -1].set(0.0)                    # static surface row
+
+        rows = [dcs]
+        if not spec.iso_thermal:
+            cp_mean_i = thermo.cp_mean(ts_re, idx)
+            so_cp_mix = jnp.sum(mo_fri * cp_mean_i, axis=-1)
+            so_cp_eff_re = (
+                cos_sp_re * so_cp_mix * ca_po
+                + (1 - ca_po) * p["CaDe"] * p["CaSpHeCa"]
+            )
+            en_ch = (thermo.cp_mean(ts_re, eq_idx) @ eq_nu.T) * (
+                ts_re[:, None] - Tref
+            )
+            ov_he_re_t = jnp.sum(r0.T * (en_ch + dh25), axis=-1)
+            dh_term = -ov_he_re_t
+            if scaled_sources:
+                dh_term = (1.0 / so_he_di_te0) * (1 - ca_po) * dh_term
+            res_t = oc_particle.oc_residual(
+                ts_hat, ca_po * 1.0, dh_term, beta_t, tb_dile, ops
+            )
+            dts = res_t / (so_cp_eff_re * p["T0"] / so_he_di_te0)
+            dts = dts.at[-1].set(0.0)
+            rows.append(dts[None])
+
+        return jnp.concatenate(rows, axis=0).reshape(-1)
+
+    return rhs
+
+
+def t1_oc_surface_values(spec: ParticleSpec, p, y):
+    """Recomputed algebraic interface values for post-processing."""
+    from ..ops import oc_particle
+
+    ops = oc_particle.oc_operator()
+    rf = p["PaDi"] / 2
+    Y = y.reshape(spec.n_layer, spec.r_no)
+    cs = jnp.maximum(Y[: spec.n_comp], EPS_CONST)
+    c_b = p["Cbi"] / jnp.max(p["Cbi"])
+    beta_c = (rf / p["GaDii0"]) * p["MaTrCo"]
+    cs_hat = oc_particle.interface_update(cs, c_b, beta_c, ops["A"])
+    out = [cs_hat]
+    if not spec.iso_thermal:
+        so_th_conv = p["GaThCoMix0"] / 1000.0
+        beta_t = (rf / so_th_conv) * (p["HeTrCo"] / 1000.0) / p["CaPo"]
+        tb_dile = (p["Tb"] - p["T0"]) / p["T0"]
+        ts_hat = oc_particle.interface_update(
+            Y[spec.n_comp], tb_dile, beta_t, ops["A"]
+        )
+        out.append(ts_hat[None])
+    return jnp.concatenate(out, axis=0)
+
+
 def t2_derived(spec: ParticleSpec, p):
     """Computed transport/bulk state for the steady model (reference
     runT2, particleModels.py:1200-1470): Chapman-Enskog diffusivities,

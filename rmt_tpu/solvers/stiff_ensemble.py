@@ -312,7 +312,7 @@ def odeint_ensemble(
     chunk = j_every  # attempts between global Jacobian refreshes
 
     def attempt(state, _):
-        t, y, fval, h, J, Pr, Pcr, Pci, seg, out, st = state
+        t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st = state
         seg_c = jnp.minimum(seg + 1, n_out - 1)
         t_end = ts[seg_c]                               # (B,)
         active = seg < (n_out - 1)
@@ -402,7 +402,17 @@ def odeint_ensemble(
         h_new = jnp.where(active, h_new, h)
 
         t_new = jnp.where(accept, t + h_eff, t)
-        y_new = jnp.where(accept[:, None], y1, y)
+        # Kahan-compensated state accumulation: in f32 mode the per-step
+        # rounding of y + h*(b.K) random-walks to ~1e-6 over a few hundred
+        # accepted steps -- the dominant term of the whole-run error. The
+        # compensation vector carries the lost low-order bits, making the
+        # accumulation effectively double-width for free elementwise cost.
+        delta = h_eff[:, None] * jnp.einsum("j,bjn->bn", Bv, K)
+        u = delta + yc
+        y1k = y + u
+        yc1 = u - (y1k - y)
+        y_new = jnp.where(accept[:, None], y1k, y)
+        yc_new = jnp.where(accept[:, None], yc1, yc)
         f_cand = fB(t_new, y_new)
         f_new = jnp.where(accept[:, None], f_cand, fval)
 
@@ -422,10 +432,10 @@ def odeint_ensemble(
             st.n_rejected + ((~accept) & active).astype(jnp.int32),
             seg_new,
         )
-        return (t_new, y_new, f_new, h_new, J, Pr, Pcr, Pci, seg_new, out, st_new), None
+        return (t_new, y_new, yc_new, f_new, h_new, J, Pr, Pcr, Pci, seg_new, out, st_new), None
 
     def chunk_body(state, _):
-        t, y, fval, h, J, Pr, Pcr, Pci, seg, out, st = state
+        t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st = state
         # refresh the Jacobian once per chunk; h grows <= 1.4^16 within it
         J = jacB(t, y).astype(f32)
         # reset any non-finite preconditioner to the safe cold seed
@@ -440,7 +450,7 @@ def odeint_ensemble(
         Pr, Pcr, Pci, _ = ns_update(Pr, Pcr, Pci, h, J, ns_refresh)
         st = st._replace(n_jev=st.n_jev + 1)
 
-        state = (t, y, fval, h, J, Pr, Pcr, Pci, seg, out, st)
+        state = (t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st)
         state, _ = lax.scan(attempt, state, None, length=chunk)
         return state, None
 
@@ -461,6 +471,7 @@ def odeint_ensemble(
     state0 = (
         jnp.full((Bsz,), ts[0], dtype),
         y0,
+        jnp.zeros_like(y0),      # Kahan compensation of the state sum
         f0,
         h0,
         J0,
@@ -473,11 +484,11 @@ def odeint_ensemble(
     )
     n_chunks = max(max_steps // chunk, 1)
     state, _ = lax.scan(chunk_body, state0, None, length=n_chunks)
-    seg_final = state[8]
-    stats = state[10]
+    seg_final = state[9]
+    stats = state[11]
     # members that exhausted the budget keep their final integrated state
     # in the remaining output slots (detectable via stats/n_accepted)
-    out = state[9]
+    out = state[10]
     onehot_tail = jnp.arange(1, n_out)[:, None] > seg_final[None, :]
     out = jnp.where(onehot_tail[:, :, None], state[1][None, :, :], out)
     ys = jnp.concatenate([y0[None], out], axis=0)

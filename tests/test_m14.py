@@ -239,3 +239,21 @@ def test_m14_api_end_to_end():
     assert np.all(np.isfinite(res["resModel"]["dataYs"]))
     assert Ts.max() >= Tg.max() - 1e-6
     assert 523.0 < Ts.max() < 900.0
+
+
+def test_m14_ramp_list_continuation_matches_direct():
+    """rampList kinetics continuation (reference pbReactor.py:7615-7643):
+    climbing 0.25 -> 0.5 -> 1.0 must land on the same steady state as the
+    direct full-kinetics solve."""
+    from rmt_tpu.api import rmt
+
+    mi = _m14_model_input()
+    mi["solver-config"]["zNo"] = 10
+    direct = rmt.rmtExe(mi)["resModel"]["dataYs"]
+
+    mi2 = _m14_model_input()
+    mi2["solver-config"]["zNo"] = 10
+    mi2["solver-config"]["rampList"] = [0.25, 0.5, 1.0]
+    ramped = rmt.rmtExe(mi2)["resModel"]["dataYs"]
+
+    np.testing.assert_allclose(ramped, direct, rtol=1e-6, atol=1e-8)

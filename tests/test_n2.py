@@ -149,3 +149,28 @@ def test_n2_period_and_interval_structure():
     pack = res["dataPack"][0]
     assert np.asarray(pack["dataYCons1"]).shape == (6, 20)
     assert np.asarray(pack["dataYs"]).shape == (7, 20)
+
+
+def test_n2_checkpoint_resume_matches_single_run():
+    """Integration state is a first-class checkpoint: two chained 0.25 s
+    runs (save -> resume) land on the same state as one 0.5 s run (the
+    reference only re-seeds in memory, pbHomoReactor.py:3684-3685)."""
+    from rmt_tpu.api import rmt
+
+    mi_full = make_model_input(model="N2", op_period=0.5)
+    full = rmt.rmtExe(mi_full)["resModel"]
+
+    mi_a = make_model_input(model="N2", op_period=0.25)
+    res_a = rmt.rmtExe(mi_a)["resModel"]
+    ck = res_a["checkpoint"]
+    assert ck["model"] == "N2" and abs(ck["t"] - 0.25) < 1e-12
+
+    mi_b = make_model_input(model="N2", op_period=0.25)
+    mi_b["resume-state"] = ck
+    res_b = rmt.rmtExe(mi_b)["resModel"]
+
+    # times continue from the checkpoint
+    assert abs(res_b["dataPack"][-1]["dataTime"] - 0.5) < 1e-12
+    end_chained = res_b["checkpoint"]["state"]
+    end_full = full["checkpoint"]["state"]
+    np.testing.assert_allclose(end_chained, end_full, rtol=1e-5, atol=1e-8)

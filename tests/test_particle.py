@@ -206,3 +206,29 @@ def test_t1_end_to_end_runs():
     last = res["dataPack"][-1]
     ours = np.concatenate([last["dataYCo_DiLe"], last["dataYT_DiLe"]], axis=0)
     np.testing.assert_allclose(ours, _T1_REF_Y_05, rtol=5e-3, atol=5e-4)
+
+
+def test_t1_oc_branch_consistent_with_fdm():
+    """T1 with numerical-method "oc" (reference branch crashes in
+    solCatParticle; ours reconstructs the intent on ops/oc_particle).
+    The OC and FDM solutions discretize the same PDE with 7 radial
+    points each; the nearly-flat DME particle profiles must agree."""
+    from rmt_tpu import rmtExe
+
+    mi = _t1_model_input()
+    mi["operating-conditions"]["period"] = 0.5
+    res_f = rmtExe(mi)["resModel"]
+
+    mi2 = _t1_model_input()
+    mi2["operating-conditions"]["period"] = 0.5
+    mi2["test-const"]["numerical-method"] = "oc"
+    res_o = rmtExe(mi2)["resModel"]
+
+    a = res_f["dataPack"][-1]
+    b = res_o["dataPack"][-1]
+    fa = np.concatenate([a["dataYCo_DiLe"], a["dataYT_DiLe"]], axis=0)
+    fb = np.concatenate([b["dataYCo_DiLe"], b["dataYT_DiLe"]], axis=0)
+    # both store center-first, surface last (the OC nodes sit at the
+    # 7-point basis abscissae; the profiles are nearly radially uniform)
+    np.testing.assert_allclose(fb[:, -1], fa[:, -1], rtol=2e-2, atol=5e-4)
+    np.testing.assert_allclose(fb[:, 0], fa[:, 0], rtol=2e-2, atol=5e-4)
