@@ -22,7 +22,7 @@ os.environ.setdefault("RMT_TPU_X64", "0")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
-B = int(os.environ.get("RMT_BENCH_B", "1024"))
+B = int(os.environ.get("RMT_BENCH_B", "4096"))
 X64 = os.environ["RMT_TPU_X64"] != "0"
 # f32 resolution floors the usable tolerance; f64 reproduces the reference
 RTOL, ATOL = (1e-7, 1e-10) if X64 else (1e-5, 1e-7)
@@ -72,31 +72,42 @@ def main():
 
     mi = make_model_input(model="N2")
 
-    # the tunneled TPU runtime has crashed at batches >= 1024 before;
-    # walk down until a size completes
-    candidates = [B, max(B // 2, 64), max(B // 8, 64), 64]
+    # HBM ceiling: the batched Newton-Schulz preconditioner stacks peak at
+    # ~2.5 MB/member; B=4096 in one shot crashes the v5e worker, so the
+    # ensemble is microbatched at <= 2048 members per device-resident
+    # chunk (one compile, chunks reuse the executable). Walk down on
+    # failure until a chunk size completes.
+    CHUNK_MAX = int(os.environ.get("RMT_BENCH_CHUNK", "2048"))
+    candidates = [min(B, CHUNK_MAX), 1024, 256, 64]
     result = None
     for b in candidates:
+        if b > B:
+            continue
+        n_chunks = max(B // b, 1)
         try:
-            sweep = {"T0": jnp.asarray(523.0 + np.linspace(-5.0, 5.0, b))}
-
-            def run_once():
+            def run_once(t0_offsets):
+                sweep = {"T0": jnp.asarray(523.0 + t0_offsets)}
                 ys, stats = run_n2_ensemble_lockstep(
                     mi, sweep, max_steps=768, rtol=RTOL, atol=ATOL
                 )
                 np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
                 return ys, stats
 
-            run_once()  # compile
+            offsets = np.linspace(-5.0, 5.0, n_chunks * b).reshape(n_chunks, b)
+            run_once(offsets[0])  # compile
             t0 = time.perf_counter()
-            ys, stats = run_once()
+            for ci in range(n_chunks):
+                ys, stats = run_once(offsets[ci])
             t_ens = time.perf_counter() - t0
             assert bool(jnp.all(jnp.isfinite(ys[-1])))
             assert int(jnp.min(stats.n_accepted)) > 0
             n_out = ys.shape[0]
             unfinished = int(jnp.sum(stats.seg < n_out - 1))
             assert unfinished == 0, f"{unfinished}/{b} members exhausted the budget"
-            result = (b, t_ens)
+            if n_chunks > 1:
+                print(f"# B={n_chunks * b} as {n_chunks} chunks of {b}",
+                      file=sys.stderr)
+            result = (n_chunks * b, t_ens)
             break
         except Exception as e:  # pragma: no cover - bench robustness
             print(f"# B={b} failed: {str(e)[:120]}", file=sys.stderr)

@@ -62,7 +62,7 @@ _DEFAULT_ATOL = 1e-10
 # hides typos like "rtoll")
 _SOLVER_CONFIG_KEYS = {
     "ivp", "root", "mesh", "display-result", "rtol", "atol",
-    "zNo", "tNo", "timesNo", "rNo", "rampList",
+    "zNo", "tNo", "timesNo", "rNo", "rampList", "numerical-method",
 }
 _ROOT_METHODS = {"default", "fsolve", "root", "least_squares"}
 
@@ -788,7 +788,8 @@ def _run_t1(model_input, opts):
         # trajectory in the clamped near-zero kinetics regime (see
         # make_t1_rhs_oc)
         rhs = (
-            particle.make_t1_rhs_oc(spec, scaled_sources=False)
+            particle.make_t1_rhs_oc(spec, scaled_sources=False,
+                                    clamp_interface=True)
             if method == "oc" else particle.make_t1_rhs(spec)
         )
 
@@ -842,13 +843,24 @@ def _run_t1(model_input, opts):
 def _run_t2(model_input, opts):
     from ..solvers import newton
 
+    # radial discretization: "fdm" (default) or "oc" (reference reads
+    # solver-config numerical-method for T2, particleModels.py:1126)
+    method = (
+        model_input.get("solver-config", {}).get("numerical-method")
+        or model_input.get("test-const", {}).get("numerical-method")
+        or model_input.get("operating-conditions", {}).get("numerical-method")
+        or "fdm"
+    )
     spec = particle.build_spec(model_input)
     p = particle.build_params(model_input)
-    key = ("T2", spec.comp_list, spec.iso_thermal, spec.r_no,
-           id(model_input["reaction-rates"]["VARS"]), jax.config.jax_enable_x64)
+    key = ("T2", spec.comp_list, spec.iso_thermal, spec.r_no, method,
+           _kinetics_fingerprint(model_input), jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        res_fn = particle.make_t2_residual_fn(spec)
+        res_fn = (
+            particle.make_t2_residual_oc(spec) if method == "oc"
+            else particle.make_t2_residual_fn(spec)
+        )
 
         def run(pp):
             d = particle.t2_derived(spec, pp)
@@ -1078,6 +1090,27 @@ def _hetero_dyn_tols(model_input, opts):
     return rtol, atol
 
 
+def _resume_or(model_input, default_y0, expect_len, model_id):
+    """Initial-state injection for the dynamic hetero runners: accepts the
+    same {"model", "t", "state"} checkpoint dicts the N2 runner emits, so
+    transients can be continued or started from a physical state instead
+    of the reference's 1e-6 seed (whose near-zero kinetics regime is
+    singular for the OC-particle models)."""
+    resume = model_input.get("resume-state")
+    if resume is None:
+        return default_y0, 0.0
+    if resume.get("model") not in (None, model_id):
+        raise ValueError(
+            f"resume-state is for model {resume.get('model')!r}, not {model_id!r}"
+        )
+    y = jnp.asarray(np.asarray(resume["state"], dtype=np.float64)).reshape(-1)
+    if y.shape[0] != expect_len:
+        raise ValueError(
+            f"resume-state has {y.shape[0]} entries; this grid needs {expect_len}"
+        )
+    return y, float(resume.get("t", 0.0))
+
+
 def _run_m11(model_input, opts):
     """Dynamic heterogeneous packed bed with the particle interior carried
     in the ODE state (reference: pbReactor.runM7 via rmtCore.M11Init).
@@ -1110,11 +1143,10 @@ def _run_m11(model_input, opts):
             spec.n_layer, spec.r_no + 1, spec.z_no
         )
 
-        def run(pp):
+        def run(pp, y0, t_start):
             d = hetero_dyn.m13_feed(spec, pp)
-            y0 = hetero_dyn.m11_initial_state(spec, pp)
             ts_grid = (
-                pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+                t_start + pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
             ).astype(y0.dtype)
             jac = jac_ops.colored_jacobian_from(
                 lambda t, y: rhs(t, y, pp, d), coloring
@@ -1129,7 +1161,11 @@ def _run_m11(model_input, opts):
         _jit_cache[key] = runner
 
     start = timer()
-    ys_t, stats, ts_grid = runner(p)
+    y_init, t_start = _resume_or(
+        model_input, hetero_dyn.m11_initial_state(spec, p),
+        spec.n_layer * (spec.r_no + 1) * spec.z_no, "M11",
+    )
+    ys_t, stats, ts_grid = runner(p, y_init, jnp.asarray(t_start))
     _check_integration(stats, "M11")
 
     ys_t = np.asarray(ys_t)
@@ -1173,6 +1209,11 @@ def _run_m11(model_input, opts):
         "dataPack": data_pack,
         "computation-time": elapsed,
         "solverStats": _stats_dict(stats),
+        "checkpoint": {
+            "model": model_input["model"],
+            "t": float(t_bounds[-1]),
+            "state": ys_t[-1].copy(),
+        },
     }
 
 
@@ -1199,15 +1240,14 @@ def _run_m10(model_input, opts):
            rtol, atol, jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        rhs = hetero_dyn.make_m10_rhs(spec)
+        rhs = hetero_dyn.make_m10_rhs(spec, clamp_interface=True)
         coloring = jac_ops.two_phase_coloring(
             spec.n_layer, spec.r_no + 1, spec.z_no
         )
 
-        def run(pp):
-            y0 = hetero_dyn.m10_initial_state(spec, pp)
+        def run(pp, y0, t_start):
             ts_grid = (
-                pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+                t_start + pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
             ).astype(y0.dtype)
             jac = jac_ops.colored_jacobian_from(
                 lambda t, y: rhs(t, y, pp), coloring
@@ -1222,7 +1262,11 @@ def _run_m10(model_input, opts):
         _jit_cache[key] = runner
 
     start = timer()
-    ys_t, stats, ts_grid = runner(p)
+    y_init, t_start = _resume_or(
+        model_input, hetero_dyn.m10_initial_state(spec, p),
+        spec.n_layer * (spec.r_no + 1) * spec.z_no, "M10",
+    )
+    ys_t, stats, ts_grid = runner(p, y_init, jnp.asarray(t_start))
     _check_integration(stats, "M10")
 
     ys_t = np.asarray(ys_t)
@@ -1265,6 +1309,11 @@ def _run_m10(model_input, opts):
         "dataPack": data_pack,
         "computation-time": elapsed,
         "solverStats": _stats_dict(stats),
+        "checkpoint": {
+            "model": model_input["model"],
+            "t": float(t_bounds[-1]),
+            "state": ys_t[-1].copy(),
+        },
     }
 
 
@@ -1293,16 +1342,15 @@ def _run_m12(model_input, opts):
            rtol, atol, jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        rhs = hetero_dyn.make_m12_rhs(spec)
+        rhs = hetero_dyn.make_m12_rhs(spec, clamp_interface=True)
         coloring = jac_ops.two_phase_coloring(
             spec.n_layer, spec.r_no + 1, spec.z_no
         )
 
-        def run(pp):
+        def run(pp, y0, t_start):
             d = hetero_dyn.m13_feed(spec, pp)
-            y0 = hetero_dyn.m11_initial_state(spec, pp)
             ts_grid = (
-                pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+                t_start + pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
             ).astype(y0.dtype)
             jac = jac_ops.colored_jacobian_from(
                 lambda t, y: rhs(t, y, pp, d), coloring
@@ -1320,7 +1368,13 @@ def _run_m12(model_input, opts):
         _jit_cache[key] = runner
 
     start = timer()
-    ys_t, (cs_hat_t, ts_hat_t), stats, ts_grid = runner(p)
+    y_init, t_start = _resume_or(
+        model_input, hetero_dyn.m11_initial_state(spec, p),
+        spec.n_layer * (spec.r_no + 1) * spec.z_no, "M12",
+    )
+    ys_t, (cs_hat_t, ts_hat_t), stats, ts_grid = runner(
+        p, y_init, jnp.asarray(t_start)
+    )
     _check_integration(stats, "M12")
 
     ys_t = np.asarray(ys_t)
@@ -1368,6 +1422,11 @@ def _run_m12(model_input, opts):
         "dataPack": data_pack,
         "computation-time": elapsed,
         "solverStats": _stats_dict(stats),
+        "checkpoint": {
+            "model": model_input["model"],
+            "t": float(t_bounds[-1]),
+            "state": ys_t[-1].copy(),
+        },
     }
 
 

@@ -595,7 +595,8 @@ def make_m11_rhs(spec: M13Spec, scaled_sources: bool = True):
     return rhs
 
 
-def make_m12_rhs(spec: M13Spec, cp_at_real_temperature: bool = True):
+def make_m12_rhs(spec: M13Spec, cp_at_real_temperature: bool = True,
+                 clamp_interface: bool = False):
     """Coupled dynamic heterogeneous MoL RHS with an orthogonal-collocation
     particle and an algebraically-updated (static) gas-solid interface
     (reference modelEquationM8, pbReactor.py:6050-7181). Gas rows are the
@@ -659,6 +660,15 @@ def make_m12_rhs(spec: M13Spec, cp_at_real_temperature: bool = True):
             c_raw, beta_c[:, None], ops["A"],
         )
         cs_hat = jnp.moveaxis(cs_hat, 2, 1)                      # back to (n_comp, rNo, zNo)
+        if clamp_interface:
+            # non-negative interface projection: the OC surface
+            # extrapolation row has large alternating coefficients
+            # (A[-1] ~ [0.5, -2, 5, -11, 24, -67, 51]) and the eliminated
+            # surface value swings negative during transients, kicking the
+            # EPS-clamped kinetics and collapsing the step size; the
+            # driver projects it onto the physical region (parity tests
+            # pin the raw elimination)
+            cs_hat = jnp.maximum(cs_hat, EPS_CONST)
 
         so_th_eff_conv = ca_po * p["GaThCoMix0"] / 1000.0
         beta_t = (rf / so_th_eff_conv) * (-(d["HeTrCo"] / 1000.0) / ca_po)
@@ -808,7 +818,7 @@ def m10_initial_state(spec: M13Spec, p):
     return jnp.concatenate([c, t], axis=0).reshape(-1)
 
 
-def make_m10_rhs(spec: M13Spec):
+def make_m10_rhs(spec: M13Spec, clamp_interface: bool = False):
     """Dynamic heterogeneous packed bed in REAL units with an OC particle
     and live velocity/pressure marches (reference modelEquationM6,
     pbReactor.py:3053-3801). State (n_layer, rNo+1, zNo): row 0 gas
@@ -920,7 +930,13 @@ def make_m10_rhs(spec: M13Spec):
                 - to_ma_tr * 1000.0
             )
             out = (P, v, dxdt_v, ma_tr, he_tr)
-            return (P + dz * dxdt_p, v + dz * dxdt_v), out
+            # velocity floor (driver salvage): the dv/dz balance drains the
+            # superficial velocity via interphase absorption and crosses
+            # zero within one dz once gas-solid gaps grow; Re < 0 then
+            # NaNs the film correlations (Re^0.6) in the reference and
+            # here alike. Floor at 5% of the inlet velocity.
+            v_next = jnp.maximum(v + dz * dxdt_v, 0.05 * v0)
+            return (P + dz * dxdt_p, v_next), out
 
         (_, _), (P_z, v_z, dxdt_v, ma_tr_z, he_tr_z) = jax.lax.scan(
             march, (p["P0"], v0),
@@ -997,8 +1013,10 @@ def make_m10_rhs(spec: M13Spec):
             beta_t = -1.0 * he_tr * pa_ra / so_th_co_eff
 
             cs_hat = oc_particle.interface_update(
-                cs_cl, c_z, beta_c[:, None], ops["A"]
+                cs_cl, c_z, beta_c, ops["A"]
             )                                        # (n_comp, rNo)
+            if clamp_interface:
+                cs_hat = jnp.maximum(cs_hat, EPS_CONST)
             ts_hat = oc_particle.interface_update(ts_node, T_c, beta_t, ops["A"])
 
             src_c = pa_ra**2 * ri_r                  # (:3722) source x PaRa^2

@@ -195,7 +195,8 @@ def make_t1_rhs(spec: ParticleSpec):
 
 
 
-def make_t1_rhs_oc(spec: ParticleSpec, scaled_sources: bool = True):
+def make_t1_rhs_oc(spec: ParticleSpec, scaled_sources: bool = True,
+                   clamp_interface: bool = False):
     """Dynamic particle RHS on the 7-point orthogonal-collocation basis
     (reference modelEquationT1 OC branch, particleModels.py:1016-1030 mass
     and :1070-1090 heat -- which crashes inside solCatParticle before one
@@ -246,6 +247,11 @@ def make_t1_rhs_oc(spec: ParticleSpec, scaled_sources: bool = True):
         c_b = p["Cbi"] / jnp.max(p["Cbi"])
         beta_c = (rf / p["GaDii0"]) * p["MaTrCo"]       # (n_comp,)
         cs_hat = oc_particle.interface_update(cs, c_b, beta_c, ops["A"])
+        if clamp_interface:
+            # non-negative interface projection (see make_m12_rhs): the OC
+            # surface extrapolation swings negative during transients and
+            # the EPS-clamped kinetics then collapse the step size
+            cs_hat = jnp.maximum(cs_hat, EPS_CONST)
         so_th_conv = p["GaThCoMix0"] / 1000.0           # SoThCoEff_Conv (:1073)
         beta_t = (rf / so_th_conv) * (p["HeTrCo"] / 1000.0) / ca_po
         tb_dile = (p["Tb"] - p["T0"]) / p["T0"]
@@ -328,6 +334,75 @@ def t1_oc_surface_values(spec: ParticleSpec, p, y):
         )
         out.append(ts_hat[None])
     return jnp.concatenate(out, axis=0)
+
+
+def make_t2_residual_oc(spec: ParticleSpec):
+    """Steady particle residual on the 7-point OC basis (the intended
+    `numerical-method: "oc"` form of runT2 -- the reference's OC machinery
+    cannot run, see ops/oc_particle.py). Discretizes the SAME equations as
+    make_t2_residual_fn: interior rows CaPo-free mass Laplacian + scaled
+    reaction source, an active Robin surface row (no algebraic
+    elimination -- the steady system is Newton-friendly with the BC as an
+    equation), transfer numbers matched to the FDM ghost construction
+    (beta_c = rf*MaTrCo/SoDiiEff; the reference's crashing OC branch used
+    rf*MaTrCo/GaDii0, one more branch inconsistency)."""
+    from ..ops import oc_particle
+
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    r_no = spec.r_no
+    n_layer = spec.n_layer
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    eq_idx = spec.stoich.eq_idx
+    eq_nu = jnp.asarray(spec.stoich.eq_nu)
+    dh25 = jnp.asarray(spec.stoich.dh_rxn_25)
+    ops = oc_particle.oc_operator()
+    assert ops["N"] == r_no
+
+    def residual(y, p, d):
+        rf = p["PaDi"] / 2
+        ca_po = p["CaPo"]
+
+        Y = y.reshape(n_layer, r_no)
+        cs = jnp.maximum(Y[:n_comp], EPS_CONST)
+        c_max = jnp.max(p["SpCoi0"])
+        cs_re = cs * c_max
+        ts = Y[n_comp] if not spec.iso_thermal else jnp.zeros((r_no,), y.dtype)
+        ts_re = ts * p["T0"] + p["T0"]
+
+        cos_sp_re = jnp.sum(cs_re, axis=0)
+        mo_fri = (cs_re / cos_sp_re).T
+
+        rate_fn = lambda T_, mf_, sc_: spec.rates(
+            T_, p["P0"], mf_, sc_, p["kinetic_overrides"]
+        )
+        r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1), out_axes=1)(ts_re, mo_fri, cs_re)
+        ri_r = jnp.einsum("mk,mz->kz", nu_comp, r0)
+
+        so_dii_eff = (ca_po / p["CaTo"]) * d["GaDii0"]
+        ri_scaled = (1 / d["SoMaDiTe0"])[:, None] * (1 - ca_po) * ri_r
+        beta_c = rf * d["MaTrCo"] / so_dii_eff
+
+        fc = jax.vmap(
+            lambda ys, src, b, cb: oc_particle.oc_residual(
+                ys, 1.0, src, b, cb, ops
+            )
+        )(cs, ri_scaled, beta_c, d["Cb_DiLe"])
+        rows = [fc]
+        if not spec.iso_thermal:
+            en_ch = (thermo.cp_mean(ts_re, eq_idx) @ eq_nu.T) * (
+                ts_re[:, None] - Tref
+            )
+            ov_he_re_t = jnp.sum(r0.T * (en_ch + dh25), axis=-1)
+            dh_scaled = (1 / d["SoHeDiTe0"]) * (1 - ca_po) * (-ov_he_re_t)
+            beta_t = rf * d["HeTrCo"] / (d["GaThCoMix0"] * ca_po)
+            ft = oc_particle.oc_residual(
+                ts, ca_po * 1.0, dh_scaled, beta_t, d["Tb_DiLe"], ops
+            )
+            rows.append(ft[None])
+        return jnp.concatenate(rows, axis=0).reshape(-1)
+
+    return residual
 
 
 def t2_derived(spec: ParticleSpec, p):

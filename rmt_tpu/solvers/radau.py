@@ -188,14 +188,14 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
         return y1, err_norm, n_newton_fev
 
     def segment(carry, t_end):
-        t, y, fval, h, stats = carry
+        t, y, fval, h, err_prev, stats = carry
 
         def cond(state):
             t, *_, steps = state
             return (t < t_end) & (steps < max_steps)
 
         def body(state):
-            t, y, fval, h, stats, steps = state
+            t, y, fval, h, err_prev, stats, steps = state
             h_eff = jnp.minimum(h, t_end - t)
             J = jac(t, y)
             y1, err_norm, nfe = attempt_step(t, y, h_eff, fval, J)
@@ -204,10 +204,19 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
             # clamp before the pow: TPU-emulated f64 yields NaN for inf**-x,
             # which would poison the step size forever
             err_c = jnp.clip(err_norm, 1e-10, 1e10)
+            # Gustafsson predictive (PI) controller: the pure I-controller
+            # oscillates accept/reject on strongly nonnormal stiff systems
+            # (measured ~56% rejection on the OC-particle models); blending
+            # in the previous accepted error damps the oscillation
+            # (Hairer-Wanner IV.8). Falls back to the I-controller until a
+            # first error history exists.
+            fac_i = _SAFETY * err_c**order_exp
+            ep = jnp.clip(err_prev, 1e-10, 1e10)
+            fac_pi = _SAFETY * err_c ** (0.6 * order_exp) * ep ** (-0.25 * order_exp)
+            factor = jnp.where(err_prev > 0, jnp.minimum(fac_i, fac_pi), fac_i)
             factor = jnp.where(
-                err_norm == 0.0,
-                _MAX_FACTOR,
-                jnp.clip(_SAFETY * err_c**order_exp, _MIN_FACTOR, _MAX_FACTOR),
+                err_norm == 0.0, _MAX_FACTOR,
+                jnp.clip(factor, _MIN_FACTOR, _MAX_FACTOR),
             )
             factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
             clamped = h_eff < h
@@ -218,6 +227,7 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
             t_new = jnp.where(accept, t + h_eff, t)
             f_new = jnp.where(accept, f_(t_new, y1), fval)
             y_new = jnp.where(accept, y1, y)
+            err_prev_new = jnp.where(accept, err_c, err_prev)
             new_stats = RadauStats(
                 stats.n_fev + nfe + 1,
                 stats.n_jev + 1,
@@ -226,23 +236,28 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
                 stats.n_rejected + (~accept).astype(jnp.int32),
                 stats.n_unreached,
             )
-            return t_new, y_new, f_new, h_next, new_stats, steps + 1
+            return t_new, y_new, f_new, h_next, err_prev_new, new_stats, steps + 1
 
-        t, y, fval, h, stats, _ = lax.while_loop(
-            cond, body, (t, y, fval, h, stats, jnp.asarray(0, jnp.int32))
+        t, y, fval, h, err_prev, stats, _ = lax.while_loop(
+            cond, body,
+            (t, y, fval, h, err_prev, stats, jnp.asarray(0, jnp.int32)),
         )
         # a segment that exhausted max_steps leaves t short of t_end and its
         # output row holds a state at the wrong time -- count it as a failure
         eps_t = 8 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t_end), 1.0)
         unreached = (t < t_end - eps_t).astype(jnp.int32)
         stats = stats._replace(n_unreached=stats.n_unreached + unreached)
-        return (t, y, fval, h, stats), y
+        return (t, y, fval, h, err_prev, stats), y
 
     f0 = f_(ts[0], y0)
     span = ts[-1] - ts[0]
     h0 = jnp.minimum(1e-3 * span, jnp.asarray(1e-4, dtype) * jnp.maximum(span, 1.0))
     zero = jnp.asarray(0, jnp.int32)
     stats0 = RadauStats(jnp.asarray(1, jnp.int32), zero, zero, zero, zero, zero)
-    carry, ys = lax.scan(segment, (ts[0], y0, f0, h0, stats0), ts[1:])
+    carry, ys = lax.scan(
+        segment,
+        (ts[0], y0, f0, h0, jnp.asarray(0.0, dtype), stats0),
+        ts[1:],
+    )
     ys = jnp.concatenate([y0[None], ys], axis=0)
-    return ys, carry[4]
+    return ys, carry[5]

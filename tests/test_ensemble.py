@@ -153,10 +153,13 @@ from rmt_tpu.parallel import run_n2_ensemble_lockstep
 from dme_case import make_model_input
 mi = make_model_input(model="N2")
 sweep = {"T0": jnp.asarray([523.0, 528.0])}
-ys, st = run_n2_ensemble_lockstep(mi, sweep, max_steps=512, rtol=1e-5, atol=1e-7)
+# 768-attempt budget (bench parity): the Kahan-compensated state
+# accumulation shifts trajectories by a few attempts (~520 for the
+# 523 K member on CPU f32)
+ys, st = run_n2_ensemble_lockstep(mi, sweep, max_steps=768, rtol=1e-5, atol=1e-7)
 assert jnp.all(jnp.isfinite(ys)), "non-finite states"
 att = np.asarray(st.n_accepted + st.n_rejected)
-assert att.max() < 512, f"budget exhausted: {att}"
+assert att.max() < 768, f"budget exhausted: {att}"
 # T profile must have actually evolved (the bf16 bug froze it near 0)
 assert float(ys[-1, 0, -1]) > 0.05, float(ys[-1, 0, -1])
 print("F32_OK", float(ys[-1, 0, -1]))
