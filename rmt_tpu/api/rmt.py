@@ -986,9 +986,19 @@ def _run_m14(model_input, opts):
     the raw system mixes O(1) and O(1e3) rows and stalls both the
     reference's fsolve and plain Newton."""
     from ..models import hetero
+    from ..ops import stencils as _st
     from ..solvers import newton, radau
 
-    z_no = int(model_input.get("solver-config", {}).get("zNo", 30))
+    sc = model_input.get("solver-config", {})
+    mesh_mode = sc.get("mesh", "normal")
+    if mesh_mode != "normal":
+        # refined two-zone mesh (reference FiDiMeshGenerator path; zMesh
+        # settings from solverSetting M9, solSetting.py:56-62)
+        mesh = _st.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+        z_no = int(mesh["n_nodes"])
+    else:
+        mesh = None
+        z_no = int(sc.get("zNo", 30))
     spec = hetero.m14_build_spec(model_input, z_no=z_no)
     if spec.iso_thermal:
         # the reference's iso-thermal branch pins T* = 0 but keeps the
@@ -1012,10 +1022,11 @@ def _run_m14(model_input, opts):
         )
     )
     key = ("M14", spec.comp_list, spec.iso_thermal, spec.z_no, ramp_list,
-           _kinetics_fingerprint(model_input), jax.config.jax_enable_x64)
+           mesh_mode, _kinetics_fingerprint(model_input),
+           jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        res_fn = hetero.make_m14_residual(spec)
+        res_fn = hetero.make_m14_residual(spec, mesh=mesh)
 
         def run(pp):
             d = hetero.m14_feed(spec, pp)
@@ -1056,7 +1067,10 @@ def _run_m14(model_input, opts):
     temp_gas = (1.0 + resh[spec.n_comp, 0]) * T0
     temp_sol = (1.0 + resh[spec.n_comp, 1]) * T0
     mo_fri = conc_gas / np.sum(conc_gas, axis=0, keepdims=True)
-    data_xs = np.linspace(0.0, 1.0, spec.z_no)
+    data_xs = (
+        np.asarray(mesh["xs"]) if mesh is not None
+        else np.linspace(0.0, 1.0, spec.z_no)
+    )
     label_list = (list(spec.comp_list) + ["Gas Temp"]
                   + list(spec.comp_list) + ["Solid Temp"])
     data_y = np.concatenate([mo_fri, temp_gas[None], conc_sol, temp_sol[None]], axis=0)
@@ -1443,18 +1457,28 @@ def _run_m13(model_input, opts):
     silently restarts the gas phase from 1e-6 every interval
     (pbHeterReactor.py:1148)."""
     from ..models import hetero_dyn
+    from ..ops import stencils as _st
     from ..solvers import newton
 
     sc = model_input.get("solver-config", {})
+    mesh_mode = sc.get("mesh", "normal")
+    if mesh_mode != "normal":
+        # refined two-zone mesh (reference zMesh settings from
+        # solverSetting T1, solSetting.py:63-68)
+        mesh = _st.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+        z_no = int(mesh["n_nodes"])
+    else:
+        mesh = None
+        z_no = int(sc.get("zNo", 10))     # solverSetting T1.zNo
     spec = hetero_dyn.m13_build_spec(
         model_input,
-        z_no=int(sc.get("zNo", 10)),      # solverSetting T1.zNo
+        z_no=z_no,
         r_no=int(sc.get("rNo", 7)),       # T1.rNo.fdm
         t_no=int(sc.get("tNo", 5)),       # T1.tNo
     )
     p = hetero_dyn.m13_params(model_input)
     key = ("M13", spec.comp_list, spec.z_no, spec.r_no, spec.t_no,
-           tuple(model_input["reactions"].values()),
+           mesh_mode, tuple(model_input["reactions"].values()),
            _kinetics_fingerprint(model_input),
            opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
@@ -1463,7 +1487,7 @@ def _run_m13(model_input, opts):
         # the gas phase linearly unstable (see make_m13_gas_rhs docstring);
         # integrate with the corrected sign of its sister model
         # pbReactor.modelEquationM7:5268
-        gas_rhs = hetero_dyn.make_m13_gas_rhs(spec, flux_sign=-1.0)
+        gas_rhs = hetero_dyn.make_m13_gas_rhs(spec, flux_sign=-1.0, mesh=mesh)
         node_res = hetero_dyn.make_m13_solid_node_residual(spec)
         n_comp, n_layer, r_no, z_no = (
             spec.n_comp, spec.n_layer, spec.r_no, spec.z_no
@@ -1546,7 +1570,10 @@ def _run_m13(model_input, opts):
     n_comp, z_no = spec.n_comp, spec.z_no
     c_max = float(np.max(np.asarray(p["SpCoi0"])))
     T0 = float(p["T0"])
-    data_xs = np.linspace(0.0, 1.0, z_no)
+    data_xs = (
+        np.asarray(mesh["xs"]) if mesh is not None
+        else np.linspace(0.0, 1.0, z_no)
+    )
     label_list = list(spec.comp_list) + ["Temperature"]
 
     data_pack = []

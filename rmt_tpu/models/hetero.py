@@ -279,16 +279,24 @@ def _m14_energetics(spec: M14Spec, T_eval):
     return en_ch + jnp.asarray(spec.stoich.dh_rxn_25)
 
 
-def make_m14_residual(spec: M14Spec):
+def make_m14_residual(spec: M14Spec, mesh=None):
     """Steady residual of the gas/solid system, vectorized over z nodes
-    (mirrors modelEquationM9, pbReactor.py:7748-8850, rNo = 1, uniform
-    mesh). ramp scales the kinetic source (the reference's rampList
-    continuation, pbReactor.py:7609-7643)."""
+    (mirrors modelEquationM9, pbReactor.py:7748-8850, rNo = 1). ramp
+    scales the kinetic source (the reference's rampList continuation,
+    pbReactor.py:7609-7643). mesh: a two_zone_mesh(...) result for
+    solver-config mesh != "normal" (the reference's refined branches,
+    pbReactor.py:8532-8565); the axial stencils become the per-node
+    weight rows of ops.stencils.axial_stencil_weights, and the Ergun
+    march keeps the uniform-zone dz as the reference does."""
+    from ..ops import stencils as _st
+
     idx = spec.comp_idx
     n_comp = spec.n_comp
     z_no = spec.z_no
     nu_comp = jnp.asarray(spec.stoich.nu_comp)
-    dz = 1.0 / (z_no - 1)
+    dz = float(mesh["dz_uniform"]) if mesh is not None else 1.0 / (z_no - 1)
+    ws = _st.axial_stencil_weights(z_no, mesh)
+    W1, W2, dz_bc1 = ws["W1"], ws["W2"], ws["dz_bc1"]
 
     def residual(y, p, d, ramp=1.0):
         Y = y.reshape(n_comp + 1, 2, z_no)
@@ -345,14 +353,13 @@ def make_m14_residual(spec: M14Spec):
         mo_fli = d["MaTrCo"][:, None] * d["Cmax"] * (c_g - c_s)  # (n_comp, zNo)
         in_flux_T = d["HeTrCo"] * d["SpSuAr"] * p["T0"] * (T_s - T_g) * 1e-3
 
-        # gas mass: T3-style stencils (backward d1 / central d2, Danckwerts)
-        inv_m = 1.0 / (d["PeNuMa0"] * dz)
+        # gas mass: per-node weight rows (backward d1 / central d2,
+        # Danckwerts inlet ghost; non-uniform in a refined dense zone)
+        inv_m = 1.0 / (d["PeNuMa0"] * dz_bc1)
         c_in = p["SpCoi0"] / d["Cmax"]
         c_ghost = (c_in + inv_m * c_g[:, 1]) / (inv_m + 1.0)
-        c_back = jnp.concatenate([c_ghost[:, None], c_g[:, :-1]], axis=1)
-        c_fwd = jnp.concatenate([c_g[:, 1:], c_g[:, -2:-1]], axis=1)
-        dcdz = (c_g - c_back) / dz
-        d2c = (c_fwd - 2 * c_g + c_back) / dz**2
+        dcdz = _st.apply_axial_weights(W1, c_g, c_ghost[:, None])
+        d2c = _st.apply_axial_weights(W2, c_g, c_ghost[:, None])
         res_cg = (
             -v_dl * dcdz
             + (eps / d["PeNuMa0"])[:, None] * d2c
@@ -362,12 +369,10 @@ def make_m14_residual(spec: M14Spec):
         res_cs = mo_fli * d["SpSuAr"] + ri_s
 
         # gas heat (GaThCoEff_DiLeVa = BeVoFr here, pbReactor.py:8282)
-        inv_h = 1.0 / (d["PeNuHe0"] * dz)
+        inv_h = 1.0 / (d["PeNuHe0"] * dz_bc1)
         t_ghost = (inv_h * T_g[1]) / (inv_h + 1.0)
-        t_back = jnp.concatenate([t_ghost[None], T_g[:-1]])
-        t_fwd = jnp.concatenate([T_g[1:], T_g[-2:-1]])
-        dtdz = (T_g - t_back) / dz
-        d2t = (t_fwd - 2 * T_g + t_back) / dz**2
+        dtdz = _st.apply_axial_weights(W1, T_g, t_ghost)
+        d2t = _st.apply_axial_weights(W2, T_g, t_ghost)
         res_tg = (
             -v_dl * ga_de_dl * cp_mix_dl * dtdz
             + (eps / d["PeNuHe0"]) * d2t

@@ -216,7 +216,7 @@ def m13_solid_initial_state(spec: M13Spec, p):
     return jnp.concatenate([y, t], axis=0)
 
 
-def make_m13_gas_rhs(spec: M13Spec, flux_sign: float = 1.0):
+def make_m13_gas_rhs(spec: M13Spec, flux_sign: float = 1.0, mesh=None):
     """Gas-phase MoL RHS, vectorized over z (reference modelEquationM2).
 
     y: flat (n_comp+1, zNo) dimensionless gas state; cs_surf (n_comp, zNo)
@@ -231,11 +231,19 @@ def make_m13_gas_rhs(spec: M13Spec, flux_sign: float = 1.0):
     M13 test that would have caught this). The sister model
     pbReactor.modelEquationM7:5268 subtracts the same flux. The driver
     integrates with flux_sign=-1.0 (documented salvage, like M5); parity
-    tests pin the quirk with +1.0."""
+    tests pin the quirk with +1.0.
+
+    mesh: a two_zone_mesh(...) result for solver-config mesh != "normal"
+    (the reference's refined stencil branches,
+    pbHeterReactor.py:1884-1945); None = uniform grid."""
+    from ..ops import stencils as _st
+
     idx = spec.comp_idx
     n_comp = spec.n_comp
     z_no = spec.z_no
     dz = 1.0 / (z_no - 1)
+    ws = _st.axial_stencil_weights(z_no, mesh)
+    W1, W2, dz_bc1 = ws["W1"], ws["W2"], ws["dz_bc1"]
 
     def rhs(t, y, p, d, cs_surf, ts_surf):
         eps = p["BeVoFr"]
@@ -267,13 +275,11 @@ def make_m13_gas_rhs(spec: M13Spec, flux_sign: float = 1.0):
 
         # --- species balances (BD convection, CD dispersion, Danckwerts BC1,
         # zero-gradient BC2; stencils on the raw state) ---
-        inv_m = 1.0 / (d["PeNuMa0"] * dz)              # (n_comp,)
+        inv_m = 1.0 / (d["PeNuMa0"] * dz_bc1)          # (n_comp,)
         c_in = p["SpCoi0"] / d["Cmax"]                 # Ci_0 in MAX mode
         c_ghost = (c_in + inv_m * c_raw[:, 1]) / (inv_m + 1.0)
-        c_back = jnp.concatenate([c_ghost[:, None], c_raw[:, :-1]], axis=1)
-        c_fwd = jnp.concatenate([c_raw[:, 1:], c_raw[:, -2:-1]], axis=1)
-        dcdz = (c_raw - c_back) / dz
-        d2c = (c_fwd - 2 * c_raw + c_back) / dz**2
+        dcdz = _st.apply_axial_weights(W1, c_raw, c_ghost[:, None])
+        d2c = _st.apply_axial_weights(W2, c_raw, c_ghost[:, None])
 
         conv_c = -d["vDl"] * dcdz
         disp_c = (eps / d["PeNuMa0"])[:, None] * d2c   # GaDii_DiLeVa = 1
@@ -283,12 +289,10 @@ def make_m13_gas_rhs(spec: M13Spec, flux_sign: float = 1.0):
         )
 
         # --- energy balance ---
-        inv_h = 1.0 / (d["PeNuHe0"] * dz)
+        inv_h = 1.0 / (d["PeNuHe0"] * dz_bc1)
         t_ghost = (inv_h * T_dl[1]) / (inv_h + 1.0)    # T*(inlet) = 0
-        t_back = jnp.concatenate([t_ghost[None], T_dl[:-1]])
-        t_fwd = jnp.concatenate([T_dl[1:], T_dl[-2:-1]])
-        dtdz = (T_dl - t_back) / dz
-        d2t = (t_fwd - 2 * T_dl + t_back) / dz**2
+        dtdz = _st.apply_axial_weights(W1, T_dl, t_ghost)
+        d2t = _st.apply_axial_weights(W2, T_dl, t_ghost)
 
         conv_t = -d["vDl"] * ga_de_dl * cp_dl * dtdz
         disp_t = (1.0 / d["PeNuHe0"]) * (eps * 1.0) * d2t

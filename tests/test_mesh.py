@@ -87,3 +87,121 @@ def test_t3_refined_mesh_end_to_end():
     out_r = data_y[:, -1]
     np.testing.assert_allclose(out_r[:-1], out_u[:-1], atol=0.02)  # mole fractions
     assert abs(out_r[-1] - out_u[-1]) < 15.0                       # outlet T [K]
+
+
+@pytest.mark.reference
+def test_m14_refined_mesh_residual_matches_reference():
+    from PyREMOT.docs.pbReactor import PackedBedReactorClass
+    from test_m14 import _m14_model_input, _reference_m14_args
+    from rmt_tpu.models import hetero
+    import io
+    from contextlib import redirect_stdout
+
+    mi = _m14_model_input()
+    mi["solver-config"]["mesh"] = "refined"
+    mesh = stencils.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+    z_no = int(mesh["n_nodes"])
+    spec = hetero.m14_build_spec(mi, z_no=z_no)
+    p = hetero.m14_params(mi)
+    d = hetero.m14_feed(spec, p)
+    res_fn = hetero.make_m14_residual(spec, mesh=mesh)
+
+    sorted_, coeff, fun_param, dl_params = _reference_m14_args(mi, z_no)
+    fun_param["meshSetting"].update({
+        "solverMesh": "refined",
+        "solverMeshSet": False,
+        "varNoLayer": z_no * 2,
+        "varNoLayerT": (spec.n_comp + 1) * z_no * 2,
+        "varNoColumns": z_no,
+        "zNo": z_no,
+        "dz": mesh["dz_uniform"],
+        "dzs": list(mesh["dzs"]),
+        "zR": list(mesh["rs"]),
+        "zNoNo": [15, 10],
+    })
+    fun_param["const"]["varNoT"] = (spec.n_comp + 1) * z_no
+    params_set = (sorted_, coeff, fun_param, dl_params, "non-iso-thermal")
+
+    c_in = np.asarray(p["SpCoi0"]) / float(np.max(np.asarray(p["SpCoi0"])))
+    base = np.concatenate(
+        [np.tile(c_in[:, None, None], (1, 2, z_no)),
+         np.full((1, 2, z_no), 0.05)], axis=0
+    ).reshape(-1)
+    rng = np.random.default_rng(29)
+    for _ in range(2):
+        y = base * rng.uniform(0.85, 1.15, base.shape)
+        with redirect_stdout(io.StringIO()):
+            ref = np.asarray(
+                PackedBedReactorClass.modelEquationM9(y, params_set, 1.0)
+            )
+        ours = np.asarray(res_fn(jnp.asarray(y), p, d, 1.0))
+        np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_m14_refined_mesh_end_to_end():
+    from rmt_tpu.api import rmt
+    from test_m14 import _m14_model_input
+
+    mi = _m14_model_input()
+    mi["solver-config"]["mesh"] = "refined"
+    res = rmt.rmtExe(mi)
+    ys = np.asarray(res["resModel"]["dataYs"])
+    mesh = stencils.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+    assert ys.shape[1] == mesh["n_nodes"]
+    assert np.all(np.isfinite(ys))
+    # catalyst hotter than gas, physical range (as the uniform-mesh test)
+    Ts = ys[-1]
+    assert 523.0 < Ts.max() < 900.0
+
+
+@pytest.mark.reference
+def test_m13_refined_mesh_gas_rhs_matches_reference():
+    from PyREMOT.docs.pbHeterReactor import PackedBedHeteroReactorClass
+    from test_m13 import _m13_model_input, _reference_m13_args
+    from rmt_tpu.models import hetero_dyn
+    import io
+    from contextlib import redirect_stdout
+
+    mi = _m13_model_input()
+    mi["solver-config"]["mesh"] = "refined"
+    mesh = stencils.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+    z_no = int(mesh["n_nodes"])
+    spec = hetero_dyn.m13_build_spec(mi, z_no=z_no)
+    p = hetero_dyn.m13_params(mi)
+    d = hetero_dyn.m13_feed(spec, p)
+    rhs = hetero_dyn.make_m13_gas_rhs(spec, mesh=mesh)
+
+    sorted_, coeff, fun_param, dl_params = _reference_m13_args(mi, z_no, spec.r_no)
+    fun_param["meshSetting"].update({
+        "solverMesh": "refined",
+        "solverMeshSet": False,
+        "varNoLayer": z_no * (spec.r_no + 1),
+        "varNoLayerT": (spec.n_comp + 1) * z_no * (spec.r_no + 1),
+        "varNoColumns": z_no,
+        "zNo": z_no,
+        "dz": mesh["dz_uniform"],
+        "dzs": list(mesh["dzs"]),
+        "zR": list(mesh["rs"]),
+        "zNoNo": [15, 10],
+    })
+    fun_param["const"]["varNoT"] = (spec.n_comp + 1) * z_no
+
+    c_in = np.asarray(p["SpCoi0"]) / float(np.max(np.asarray(p["SpCoi0"])))
+    rng = np.random.default_rng(31)
+    for _ in range(2):
+        c = c_in[:, None] * rng.uniform(0.3, 1.1, (spec.n_comp, z_no))
+        theta = rng.uniform(-0.02, 0.08, (1, z_no))
+        y = np.concatenate([c, theta], axis=0).reshape(-1)
+        cs_surf = c * rng.uniform(0.7, 1.0, c.shape)
+        ts_surf = theta[0] + rng.uniform(0.0, 0.05, z_no)
+        interface = {"SpCosi_zi": cs_surf, "Ts_zi": ts_surf}
+        params_set = (sorted_, coeff, fun_param, dl_params, interface)
+        with redirect_stdout(io.StringIO()):
+            ref = np.asarray(
+                PackedBedHeteroReactorClass.modelEquationM2(0.1, y, params_set)
+            )
+        ours = np.asarray(
+            rhs(0.1, jnp.asarray(y), p, d, jnp.asarray(cs_surf),
+                jnp.asarray(ts_surf))
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-12)
