@@ -1507,6 +1507,14 @@ def _run_m13(model_input, opts):
             )
 
             def solve_node(y_node, cb, tb):
+                # clamp the gas bulk before it enters the particle Robin
+                # BC: on refined meshes the sharp inlet front undershoots
+                # (central-difference Gibbs oscillation) and a negative
+                # bulk concentration drives the particle Newton into
+                # unphysical states (Ts < 0 K absolute, measured); the
+                # reference clamps every state with max(EPS) before use
+                # (pbHeterReactor.py:1575,1791)
+                cb = jnp.maximum(cb, hetero_dyn.EPS_CONST)
                 # plain Newton diverges from far-off iterates (the DME
                 # kinetics' reverse rates explode away from equilibrium), so
                 # pseudo-transient continuation first: the solid residual IS
@@ -1539,30 +1547,39 @@ def _run_m13(model_input, opts):
                 c_bulk, t_bulk = Yg[:n_comp], Yg[n_comp]
                 nunr = nunr + stats.n_unreached
                 carry = (y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, nunr)
-                return carry, (y_gas, y_solid, jnp.all(conv))
+                return carry, (y_gas, y_solid, jnp.all(conv),
+                               stats.n_unreached)
 
             zero = jnp.asarray(0, jnp.int32)
-            carry, (gas_t, solid_t, conv_t) = jax.lax.scan(
+            carry, (gas_t, solid_t, conv_t, unr_t) = jax.lax.scan(
                 interval,
                 (y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, zero),
                 jnp.stack([ts_grid[:-1], ts_grid[1:]], axis=1),
             )
-            return gas_t, solid_t, conv_t, carry[6], ts_grid
+            return gas_t, solid_t, conv_t, unr_t, ts_grid
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
 
     start = timer()
-    gas_t, solid_t, conv_t, n_unreached, ts_grid = runner(p)
-    if int(n_unreached):
+    gas_t, solid_t, conv_t, unr_t, ts_grid = runner(p)
+    unr = np.asarray(unr_t)
+    conv = np.asarray(conv_t)
+    if unr.sum() or not conv.all():
+        # report the FIRST failure: a diverged solid interface poisons all
+        # later gas intervals, so downstream gas-budget failures are a
+        # symptom, not the cause
+        first_gas = int(np.argmax(unr > 0)) if unr.sum() else len(unr)
+        first_sol = int(np.argmax(~conv)) if not conv.all() else len(conv)
+        if first_sol < first_gas:
+            bad = [i for i, c in enumerate(conv) if not c]
+            raise RuntimeError(f"M13: solid BVP Newton did not converge at "
+                               f"interval(s) {bad}")
         raise RuntimeError(
-            f"M13: gas-phase integrator failed to reach {int(n_unreached)} "
-            "interval boundary(ies) within the step budget"
+            f"M13: gas-phase integrator failed to reach "
+            f"{int(unr.sum())} interval boundary(ies) within the step "
+            f"budget (first at interval {first_gas})"
         )
-    if not bool(jnp.all(conv_t)):
-        bad = [i for i, c in enumerate(np.asarray(conv_t)) if not c]
-        raise RuntimeError(f"M13: solid BVP Newton did not converge at "
-                           f"interval(s) {bad}")
 
     gas_t = np.asarray(gas_t)          # (tNo, n_layer*zNo)
     solid_t = np.asarray(solid_t)      # (tNo, n_layer, rNo, zNo)
