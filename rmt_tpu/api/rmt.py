@@ -1487,7 +1487,13 @@ def _run_m13(model_input, opts):
         # the gas phase linearly unstable (see make_m13_gas_rhs docstring);
         # integrate with the corrected sign of its sister model
         # pbReactor.modelEquationM7:5268
-        gas_rhs = hetero_dyn.make_m13_gas_rhs(spec, flux_sign=-1.0, mesh=mesh)
+        gas_rhs = hetero_dyn.make_m13_gas_rhs(
+            spec, flux_sign=-1.0, mesh=mesh,
+            # refined meshes: smooth the EPS clamp so the inlet-front
+            # undershoot doesn't break the stage Newton (see the
+            # make_m13_gas_rhs docstring)
+            clamp_width=1e-3 if mesh is not None else 0.0,
+        )
         node_res = hetero_dyn.make_m13_solid_node_residual(spec)
         n_comp, n_layer, r_no, z_no = (
             spec.n_comp, spec.n_layer, spec.r_no, spec.z_no
@@ -1513,8 +1519,18 @@ def _run_m13(model_input, opts):
                 # bulk concentration drives the particle Newton into
                 # unphysical states (Ts < 0 K absolute, measured); the
                 # reference clamps every state with max(EPS) before use
-                # (pbHeterReactor.py:1575,1791)
-                cb = jnp.maximum(cb, hetero_dyn.EPS_CONST)
+                # (pbHeterReactor.py:1575,1791). On refined meshes use the
+                # same SMOOTH clamp as the gas RHS: a hard clamp to 1e-30
+                # pins near-zero species on the singular LHHW reverse-rate
+                # regime where the particle Newton stalls (measured at
+                # interval 3 of the refined e2e)
+                eps_c = hetero_dyn.EPS_CONST
+                if mesh is not None:
+                    cb = 0.5 * (
+                        cb + eps_c + jnp.sqrt((cb - eps_c) ** 2 + 1e-6)
+                    )
+                else:
+                    cb = jnp.maximum(cb, eps_c)
                 # plain Newton diverges from far-off iterates (the DME
                 # kinetics' reverse rates explode away from equilibrium), so
                 # pseudo-transient continuation first: the solid residual IS

@@ -216,7 +216,8 @@ def m13_solid_initial_state(spec: M13Spec, p):
     return jnp.concatenate([y, t], axis=0)
 
 
-def make_m13_gas_rhs(spec: M13Spec, flux_sign: float = 1.0, mesh=None):
+def make_m13_gas_rhs(spec: M13Spec, flux_sign: float = 1.0, mesh=None,
+                     clamp_width: float = 0.0):
     """Gas-phase MoL RHS, vectorized over z (reference modelEquationM2).
 
     y: flat (n_comp+1, zNo) dimensionless gas state; cs_surf (n_comp, zNo)
@@ -235,7 +236,19 @@ def make_m13_gas_rhs(spec: M13Spec, flux_sign: float = 1.0, mesh=None):
 
     mesh: a two_zone_mesh(...) result for solver-config mesh != "normal"
     (the reference's refined stencil branches,
-    pbHeterReactor.py:1884-1945); None = uniform grid."""
+    pbHeterReactor.py:1884-1945); None = uniform grid.
+
+    clamp_width: 0.0 reproduces the reference's hard max(Ci, EPS) clamp
+    (pbHeterReactor.py:1575). On refined meshes the inlet front
+    undershoots (central-difference Gibbs oscillation, ~-8e-4 measured)
+    and Radau stage values straddle the clamp boundary, where the hard
+    clamp's Jacobian discontinuity (density/cp/mole-fraction branch flip)
+    makes the modified Newton diverge for any h > ~3e-5 -- the step
+    controller then thrashes at ~50% rejection and never finishes. A
+    smooth C^1 clamp  0.5*(c + EPS + sqrt((c-EPS)^2 + w^2))  of width
+    w ~ 1e-3 keeps the Jacobian continuous (changes c_cl by < w^2/(4c)
+    ~ 1e-5 relative at feed-scale concentrations); the driver enables it
+    for refined meshes only."""
     from ..ops import stencils as _st
 
     idx = spec.comp_idx
@@ -251,7 +264,13 @@ def make_m13_gas_rhs(spec: M13Spec, flux_sign: float = 1.0, mesh=None):
         c_raw = Y[:n_comp]
         T_dl = Y[n_comp]
 
-        c_cl = jnp.maximum(c_raw, EPS_CONST)
+        if clamp_width > 0.0:
+            c_cl = 0.5 * (
+                c_raw + EPS_CONST
+                + jnp.sqrt((c_raw - EPS_CONST) ** 2 + clamp_width**2)
+            )
+        else:
+            c_cl = jnp.maximum(c_raw, EPS_CONST)
         c_re = c_cl * d["Cmax"]
         co_sp_re = jnp.sum(c_re, axis=0)
         T_re = T_dl * p["T0"] + p["T0"]

@@ -154,6 +154,31 @@ def test_m14_refined_mesh_end_to_end():
     assert 523.0 < Ts.max() < 900.0
 
 
+def test_m13_refined_mesh_end_to_end():
+    # the refined two-zone mesh's sharp inlet front undershoots and the
+    # reference-style hard EPS clamps break both the gas stage Newton and
+    # the particle solve; the driver's smooth-clamp salvage (gas clamp_width
+    # + smooth bulk clamp) makes the operator-splitting loop integrable
+    from rmt_tpu.api import rmt
+    from test_m13 import _m13_model_input
+
+    mi = _m13_model_input()
+    mi["solver-config"].update({"mesh": "refined", "rNo": 7, "tNo": 5})
+    res = rmt.rmtExe(mi)
+    packs = res["resModel"]["dataPack"]
+    assert len(packs) == 5
+    mesh = stencils.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+    for pack in packs:
+        assert pack["successStatus"]
+        ys = np.asarray(pack["dataYs"])
+        assert ys.shape[1] == mesh["n_nodes"]
+        assert np.all(np.isfinite(ys))
+        np.testing.assert_allclose(ys[:-1].sum(axis=0), 1.0, atol=1e-8)
+    # exothermic DME synthesis: gas warms along the run, stays physical
+    T_dl = np.asarray(packs[-1]["dataYs"])[-1]
+    assert 0.0 < T_dl.max() < 0.5
+
+
 @pytest.mark.reference
 def test_m13_refined_mesh_gas_rhs_matches_reference():
     from PyREMOT.docs.pbHeterReactor import PackedBedHeteroReactorClass
