@@ -124,6 +124,76 @@ def rmtCom() -> str:
     return ",".join(SPECIES)
 
 
+# modelInput schema: the reference accepts the raw dict verbatim and
+# silently ignores anything it doesn't read (SURVEY §5 config system);
+# here unknown sections and malformed required sections fail loudly.
+_TOP_LEVEL_KEYS = {
+    "model", "operating-conditions", "feed", "reactions", "reaction-rates",
+    "external-heat", "reactor", "solver-config",
+    # reference particleModels reads numerical-method from "test-const"
+    # (particleModels.py:165-184)
+    "test-const",
+    # rmt_tpu extension: checkpoint/resume round-trip
+    "resume-state",
+}
+_OPERATING_CONDITION_KEYS = {
+    "pressure", "temperature", "period", "process-type", "numerical-method",
+}
+
+
+def _validate_model_input(model_input: Mapping[str, Any]) -> None:
+    """Typed-schema gate for the modelInput dict: unknown top-level keys
+    and malformed required sections raise with the supported layout
+    (solver-config keys are checked separately in _solver_options)."""
+    if not isinstance(model_input, Mapping):
+        raise TypeError("modelInput must be a dict-like mapping")
+    if "model" not in model_input or not isinstance(model_input["model"], str):
+        raise ValueError('modelInput["model"] must be a model-id string '
+                         f"(one of {sorted(_MODEL_IDS)})")
+    unknown = set(model_input) - _TOP_LEVEL_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown modelInput key(s) {sorted(unknown)}; "
+            f"supported: {sorted(_TOP_LEVEL_KEYS)}"
+        )
+    oc = model_input.get("operating-conditions", {})
+    if not isinstance(oc, Mapping):
+        raise TypeError('modelInput["operating-conditions"] must be a dict')
+    unknown_oc = set(oc) - _OPERATING_CONDITION_KEYS
+    if unknown_oc:
+        raise ValueError(
+            f"unknown operating-conditions key(s) {sorted(unknown_oc)}; "
+            f"supported: {sorted(_OPERATING_CONDITION_KEYS)}"
+        )
+    feed = model_input.get("feed")
+    if not isinstance(feed, Mapping) or not isinstance(
+        feed.get("components"), Mapping
+    ):
+        raise ValueError(
+            'modelInput["feed"]["components"] is required (a dict with a '
+            '"shell" component list, reference rmt.py:52-57)'
+        )
+    rxn = model_input.get("reactions", {})
+    if not isinstance(rxn, Mapping) or not all(
+        isinstance(v, str) for v in rxn.values()
+    ):
+        raise ValueError(
+            'modelInput["reactions"] must map reaction ids to reaction '
+            'strings like "CO2 + 3H2 <=> CH3OH + H2O"'
+        )
+    rr = model_input.get("reaction-rates", {})
+    if rr and (
+        not isinstance(rr, Mapping)
+        or not isinstance(rr.get("VARS", {}), Mapping)
+        or not isinstance(rr.get("RATES", {}), Mapping)
+    ):
+        raise ValueError(
+            'modelInput["reaction-rates"] must be {"VARS": {...}, '
+            '"RATES": {...}} (the kinetics dict-program, '
+            "reference rmtReaction.py:11-61)"
+        )
+
+
 def _check_components(model_input: Mapping[str, Any]) -> None:
     comps: list[str] = []
     fe_com = model_input["feed"]["components"]
@@ -1652,6 +1722,7 @@ def _run_m13(model_input, opts):
 def rmtExe(modelInput: Mapping[str, Any]):
     """Check model input, then start computation (reference: rmt.py:21-80)."""
     tic = timer()
+    _validate_model_input(modelInput)
     model_type = modelInput["model"]
     _check_components(modelInput)
 

@@ -1,0 +1,63 @@
+# modelInput schema validation: unknown sections and malformed required
+# sections fail loudly (the reference accepts the raw dict verbatim and
+# silently ignores what it doesn't read).
+
+import pytest
+
+from dme_case import make_model_input
+from rmt_tpu import rmtExe
+
+
+def test_unknown_top_level_key_rejected():
+    mi = make_model_input(model="N1")
+    mi["reactor-config"] = {}  # typo for "reactor"
+    with pytest.raises(ValueError, match="reactor-config"):
+        rmtExe(mi)
+
+
+def test_unknown_operating_condition_key_rejected():
+    mi = make_model_input(model="N1")
+    mi["operating-conditions"]["presure"] = 1e5  # typo
+    with pytest.raises(ValueError, match="presure"):
+        rmtExe(mi)
+
+
+def test_unknown_solver_config_key_rejected():
+    mi = make_model_input(model="N1")
+    mi["solver-config"]["rtoll"] = 1e-9  # typo
+    with pytest.raises(ValueError, match="rtoll"):
+        rmtExe(mi)
+
+
+def test_missing_model_id_rejected():
+    mi = make_model_input(model="N1")
+    del mi["model"]
+    with pytest.raises(ValueError, match="model"):
+        rmtExe(mi)
+
+
+def test_missing_feed_components_rejected():
+    mi = make_model_input(model="N1")
+    del mi["feed"]["components"]
+    with pytest.raises(ValueError, match="components"):
+        rmtExe(mi)
+
+
+def test_malformed_reaction_rates_rejected():
+    mi = make_model_input(model="N1")
+    mi["reaction-rates"] = {"VARS": {}, "RATES": [1, 2]}
+    with pytest.raises(ValueError, match="RATES"):
+        rmtExe(mi)
+
+
+def test_malformed_reactions_rejected():
+    mi = make_model_input(model="N1")
+    mi["reactions"] = {"R1": 42}
+    with pytest.raises(ValueError, match="reaction"):
+        rmtExe(mi)
+
+
+def test_unimplemented_model_id_raises_not_implemented():
+    mi = make_model_input(model="M6")
+    with pytest.raises(NotImplementedError):
+        rmtExe(mi)
