@@ -133,8 +133,10 @@ _TOP_LEVEL_KEYS = {
     # reference particleModels reads numerical-method from "test-const"
     # (particleModels.py:165-184)
     "test-const",
-    # rmt_tpu extension: checkpoint/resume round-trip
+    # rmt_tpu extensions: checkpoint/resume round-trip, differentiable
+    # kinetic-constant overrides (named VARS scalars)
     "resume-state",
+    "kinetic-overrides",
 }
 _OPERATING_CONDITION_KEYS = {
     "pressure", "temperature", "period", "process-type", "numerical-method",
@@ -1057,7 +1059,6 @@ def _run_m14(model_input, opts):
     reference's fsolve and plain Newton."""
     from ..models import hetero
     from ..ops import stencils as _st
-    from ..solvers import newton, radau
 
     sc = model_input.get("solver-config", {})
     mesh_mode = sc.get("mesh", "normal")
@@ -1096,34 +1097,9 @@ def _run_m14(model_input, opts):
            jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        res_fn = hetero.make_m14_residual(spec, mesh=mesh)
-
-        def run(pp):
-            d = hetero.m14_feed(spec, pp)
-            S = hetero.m14_row_scales(spec, pp, d)
-            c_in = (pp["SpCoi0"] / d["Cmax"])[:, None, None] * jnp.ones(
-                (1, 2, spec.z_no)
-            )
-            y0 = jnp.concatenate(
-                [c_in, jnp.zeros((1, 2, spec.z_no), c_in.dtype)], axis=0
-            ).reshape(-1)
-            res_s0 = lambda yy: res_fn(yy, pp, d, ramp_list[0]) / S
-            ys, _ = radau.odeint(
-                lambda t, yy: res_s0(yy), y0,
-                jnp.asarray([0.0, 20.0], y0.dtype), rtol=1e-7, atol=1e-10,
-            )
-            x = ys[-1]
-            converged = jnp.asarray(True)
-            res_norm = jnp.asarray(0.0, x.dtype)
-            for ramp in ramp_list:
-                res_s = lambda yy, r=ramp: res_fn(yy, pp, d, r) / S
-                sol = newton.root(res_s, x, max_iter=60, tol=1e-8)
-                x = sol.x
-                converged = converged & sol.converged
-                res_norm = jnp.maximum(res_norm, sol.residual_norm)
-            return x, converged, res_norm
-
-        runner = jax.jit(run)
+        runner = jax.jit(
+            hetero.make_m14_runner(spec, mesh=mesh, ramp_list=ramp_list)
+        )
         _jit_cache[key] = runner
     x, converged, res_norm = runner(p)
     if not bool(converged):

@@ -406,3 +406,45 @@ def m14_row_scales(spec: M14Spec, p, d) -> jnp.ndarray:
     rows = [jnp.stack([ones, s_cm[i] * ones]) for i in range(spec.n_comp)]
     rows.append(jnp.stack([ones, s_T * ones]))
     return jnp.stack(rows, axis=0).reshape(-1)
+
+
+def make_m14_runner(spec: M14Spec, mesh=None, ramp_list=(1.0,)):
+    """Pure steady-state M14 solve: pp -> (x, converged, res_norm).
+
+    Pseudo-transient continuation from the feed profile on the row-scaled
+    residual, then a damped-Newton polish per rampList entry (reference
+    runM9 continuation, pbReactor.py:7615-7643). Pure in the parameter
+    pytree, so it jits AND vmaps -- the design-space sweep API
+    (parallel.ensemble.run_m14_sweep) maps it over batched operating
+    conditions and kinetic overrides."""
+    from ..solvers import newton, radau
+
+    res_fn = make_m14_residual(spec, mesh=mesh)
+    ramp_list = tuple(float(r) for r in ramp_list)
+
+    def run(pp):
+        d = m14_feed(spec, pp)
+        S = m14_row_scales(spec, pp, d)
+        c_in = (pp["SpCoi0"] / d["Cmax"])[:, None, None] * jnp.ones(
+            (1, 2, spec.z_no)
+        )
+        y0 = jnp.concatenate(
+            [c_in, jnp.zeros((1, 2, spec.z_no), c_in.dtype)], axis=0
+        ).reshape(-1)
+        res_s0 = lambda yy: res_fn(yy, pp, d, ramp_list[0]) / S
+        ys, _ = radau.odeint(
+            lambda t, yy: res_s0(yy), y0,
+            jnp.asarray([0.0, 20.0], y0.dtype), rtol=1e-7, atol=1e-10,
+        )
+        x = ys[-1]
+        converged = jnp.asarray(True)
+        res_norm = jnp.asarray(0.0, x.dtype)
+        for ramp in ramp_list:
+            res_s = lambda yy, r=ramp: res_fn(yy, pp, d, r) / S
+            sol = newton.root(res_s, x, max_iter=60, tol=1e-8)
+            x = sol.x
+            converged = converged & sol.converged
+            res_norm = jnp.maximum(res_norm, sol.residual_norm)
+        return x, converged, res_norm
+
+    return run

@@ -205,3 +205,49 @@ def make_n1_ensemble(
         return jax.jit(jax.vmap(single, in_axes=(axes,)))
 
     return single, build
+
+
+def run_m14_sweep(
+    model_input: Mapping[str, Any],
+    sweep: Mapping[str, Any],
+    mesh: Mesh | None = None,
+):
+    """Design-space sweep of the M14 steady heterogeneous reactor.
+
+    Solves a batch of steady states in one vmapped program -- every member
+    runs the same pseudo-transient continuation + damped-Newton polish
+    (models.hetero.make_m14_runner); swept leaves may be operating
+    conditions ("T0", "P0", "vf", ...) or kinetic-override constants. The
+    reference's only equivalent is a Python loop of rmtExe calls, each a
+    scipy fsolve (pbReactor.py:7615-7640).
+
+    Honors solver-config mesh/zNo/rampList like rmtExe. Returns a dict:
+    states (B, n_comp+1, 2, zNo) dimensionless [gas|solid] profiles,
+    converged (B,) bool, res_norm (B,).
+    """
+    from ..models import hetero
+    from ..ops import stencils as _st
+
+    sc = model_input.get("solver-config", {})
+    if sc.get("mesh", "normal") != "normal":
+        zmesh = _st.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+        z_no = int(zmesh["n_nodes"])
+    else:
+        zmesh = None
+        z_no = int(sc.get("zNo", 30))
+    ramp_list = tuple(float(r) for r in sc.get("rampList", [1.0]))
+    spec = hetero.m14_build_spec(model_input, z_no=z_no)
+    base = hetero.m14_params(model_input)
+    params, axes = batch_params(base, sweep)
+    if mesh is not None:
+        params = shard_batch(mesh, params, axes)
+
+    run = hetero.make_m14_runner(spec, mesh=zmesh, ramp_list=ramp_list)
+    fn = jax.jit(jax.vmap(run, in_axes=(axes,)))
+    x, converged, res_norm = fn(params)
+    b = x.shape[0]
+    return {
+        "states": x.reshape(b, spec.n_comp + 1, 2, spec.z_no),
+        "converged": converged,
+        "res_norm": res_norm,
+    }

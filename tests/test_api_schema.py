@@ -61,3 +61,14 @@ def test_unimplemented_model_id_raises_not_implemented():
     mi = make_model_input(model="M6")
     with pytest.raises(NotImplementedError):
         rmtExe(mi)
+
+
+def test_kinetic_overrides_accepted_and_applied():
+    import numpy as np
+
+    mi = make_model_input(model="N1")
+    base = np.asarray(rmtExe(mi)["resModel"][0]["dataYs"])
+    mi2 = make_model_input(model="N1")
+    mi2["kinetic-overrides"] = {"K1": 1e-6}  # kill the methanol rate
+    mod = np.asarray(rmtExe(mi2)["resModel"][0]["dataYs"])
+    assert np.max(np.abs(base - mod)) > 1e-4

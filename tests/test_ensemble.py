@@ -173,3 +173,40 @@ print("F32_OK", float(ys[-1, 0, -1]))
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "F32_OK" in r.stdout
+
+
+def test_m14_design_sweep_vmapped():
+    """Steady-state design-space screening: a batch of M14 root solves in
+    one vmapped program, member 0 matching the single-run rmtExe result."""
+    from test_m14 import _m14_model_input
+
+    from rmt_tpu import rmtExe
+    from rmt_tpu.parallel import run_m14_sweep
+
+    mi = _m14_model_input()
+    T0 = float(mi["operating-conditions"]["temperature"])
+    out = run_m14_sweep(mi, {"T0": jnp.asarray([T0, T0 + 10.0, T0 + 20.0])})
+    assert out["states"].shape[0] == 3
+    assert bool(jnp.all(out["converged"])), np.asarray(out["res_norm"])
+
+    single = rmtExe(_m14_model_input())["resModel"]["dataPack"][0]
+    c_max = float(np.max(np.asarray(mi["feed"]["concentration"])))
+    conc_gas0 = np.asarray(out["states"][0, :6, 0]) * c_max
+    np.testing.assert_allclose(
+        conc_gas0, np.asarray(single["dataYCoGas"]), rtol=1e-6, atol=1e-12
+    )
+    # hotter feed shifts the steady state
+    assert float(jnp.max(jnp.abs(out["states"][2] - out["states"][0]))) > 1e-4
+
+
+def test_m14_sweep_kinetic_override():
+    """Kinetic constants are sweepable leaves: zeroing the methanol rate
+    constant K1 must change the converged profile."""
+    from test_m14 import _m14_model_input
+
+    from rmt_tpu.parallel import run_m14_sweep
+
+    mi = _m14_model_input()
+    out = run_m14_sweep(mi, {"K1": jnp.asarray([35.45, 1e-6])})
+    assert bool(jnp.all(out["converged"]))
+    assert float(jnp.max(jnp.abs(out["states"][0] - out["states"][1]))) > 1e-5
