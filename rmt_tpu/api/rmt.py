@@ -70,7 +70,13 @@ _jit_cache: dict[tuple, Any] = {}
 
 
 def _stats_dict(stats):
-    return {k: int(v) for k, v in stats._asdict().items()}
+    """Solver stats as plain ints (scalar fields) or int lists (the
+    lockstep ensemble integrator reports per-member fields)."""
+    out = {}
+    for k, v in stats._asdict().items():
+        a = np.asarray(v)
+        out[k] = int(a) if a.ndim == 0 else [int(x) for x in a.reshape(-1)]
+    return out
 
 
 def _check_integration(stats, context: str):
@@ -608,9 +614,12 @@ def _run_m2(model_input, opts, model_id="M2"):
             rhs_frozen = pb.make_m2_rhs(spec, frozen_pressure_jac=True)
         jac_c = colored_jacobian(rhs_frozen, spec.n_comp + 1, spec.z_no)
 
-        def run(pp):
-            y0 = pb.m2_initial_state(spec, pp)[None]  # B=1
-            ts = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(y0.dtype)
+        def run(pp, y_init, t_start):
+            y0 = y_init[None]  # B=1
+            ts = (
+                t_start
+                + (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1))
+            ).astype(y0.dtype)
             fB = jax.vmap(lambda t, y: rhs(t, y, pp))
             jB = jax.vmap(lambda t, y: jac_c(t, y, pp))
             ys, stats = stiff_ensemble.odeint_ensemble(
@@ -621,7 +630,11 @@ def _run_m2(model_input, opts, model_id="M2"):
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
-    ys, ts, stats = runner(p)
+    y_default = pb.m2_initial_state(spec, p)
+    y_init, t_start = _resume_or(
+        model_input, y_default, int(y_default.shape[0]), model_id
+    )
+    ys, ts, stats = runner(p, y_init, t_start)
     if int(stats.seg[0]) != spec.t_no:
         raise RuntimeError(
             f"{model_id}: lockstep integrator exhausted its attempt budget "
@@ -668,6 +681,12 @@ def _run_m2(model_input, opts, model_id="M2"):
         "dataList": data_list,
         "dataPack": data_pack,
         "dataPacktime": data_packtime,
+        "solverStats": _stats_dict(stats),
+        "checkpoint": {
+            "model": model_id,
+            "t": float(t_bounds[-1]),
+            "state": ys[-1].copy(),
+        },
     }
 
 
@@ -865,18 +884,24 @@ def _run_t1(model_input, opts):
             if method == "oc" else particle.make_t1_rhs(spec)
         )
 
-        def run(pp):
-            y0 = particle.t1_initial_state(spec, pp)
-            ts = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(y0.dtype)
+        def run(pp, y_init, t_start):
+            ts = (
+                t_start
+                + (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1))
+            ).astype(y_init.dtype)
             ys, stats = radau.odeint(
-                lambda t, y: rhs(t, y, pp), y0, ts,
+                lambda t, y: rhs(t, y, pp), y_init, ts,
                 rtol=opts["rtol"], atol=opts["atol"],
             )
             return ys, ts, stats
 
         runner = jax.jit(run)
         _jit_cache[key] = runner
-    ys, ts, stats = runner(p)
+    y_default = particle.t1_initial_state(spec, p)
+    y_init, t_start = _resume_or(
+        model_input, y_default, int(y_default.shape[0]), "T1"
+    )
+    ys, ts, stats = runner(p, y_init, t_start)
     _check_integration(stats, "T1")
     ys = np.asarray(ys)
     t_bounds = np.asarray(ts)
@@ -909,7 +934,17 @@ def _run_t1(model_input, opts):
         from ..io import plot as _plot
 
         _plot.plot_xy_series(data_list, "Dimensionless Particle Radius", "")
-    return {"XYList": xy_list, "dataList": data_list, "dataPack": data_pack}
+    return {
+        "XYList": xy_list,
+        "dataList": data_list,
+        "dataPack": data_pack,
+        "solverStats": _stats_dict(stats),
+        "checkpoint": {
+            "model": "T1",
+            "t": float(t_bounds[-1]),
+            "state": ys[-1].copy(),
+        },
+    }
 
 
 def _run_t2(model_input, opts):

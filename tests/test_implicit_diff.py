@@ -110,8 +110,13 @@ def test_estimation_descends_at_real_period():
         spec, axes, target, n_steps=24, lr=0.5, integrator="radau"
     )
     theta = {k: v + 0.15 for k, v in theta_true.items()}
+    dist0 = sum(float(abs(theta[k] - theta_true[k])) for k in theta)
     _, loss0 = step(theta, params)
     for _ in range(4):
         theta, loss = step(theta, params)
     assert float(loss) < float(loss0)
     assert all(bool(jnp.isfinite(v)) for v in theta.values())
+    # recovery: the constants move toward the truth, not just downhill on
+    # the loss surface
+    dist = sum(float(abs(theta[k] - theta_true[k])) for k in theta)
+    assert dist < dist0

@@ -75,3 +75,28 @@ def test_m2_end_to_end_structure():
     np.testing.assert_allclose(dp["dataYs"][:6].sum(axis=0), 1.0, rtol=1e-9)
     # temperature rose above feed (exothermic chemistry, mild cooling)
     assert float(dp["dataYTemp"][0, -1]) > 523.0
+
+
+def test_m2_checkpoint_resume_matches_single_run():
+    """M2 carries the same first-class checkpoint/resume contract as N2:
+    two chained half-period runs land on the full-period state."""
+    from rmt_tpu import rmtExe
+
+    def mi_with(period):
+        mi = _m2_model_input()
+        mi["solver-config"]["zNo"] = 20
+        mi["operating-conditions"]["period"] = period
+        return mi
+
+    full = rmtExe(mi_with(5.0))["resModel"]
+    a = rmtExe(mi_with(2.5))["resModel"]
+    ck = a["checkpoint"]
+    assert ck["model"] == "M2" and abs(ck["t"] - 2.5) < 1e-12
+    mi_b = mi_with(2.5)
+    mi_b["resume-state"] = ck
+    b = rmtExe(mi_b)["resModel"]
+    assert abs(b["dataPack"][-1]["dataTime"] - 5.0) < 1e-9
+    np.testing.assert_allclose(
+        b["checkpoint"]["state"], full["checkpoint"]["state"],
+        rtol=1e-5, atol=1e-8,
+    )

@@ -230,3 +230,27 @@ def test_t2_oc_branch_consistent_with_fdm():
     # peaks (H2O/CH3OH build-up in the particle core), measured ~4%
     np.testing.assert_allclose(fb[:, -1], fa[:, -1], rtol=5e-2, atol=5e-3)
     np.testing.assert_allclose(fb[:, 0], fa[:, 0], rtol=5e-2, atol=5e-3)
+
+
+def test_t1_checkpoint_resume_matches_single_run():
+    """T1 checkpoint/resume: chained half-period runs reproduce the
+    full-period particle state."""
+    from rmt_tpu import rmtExe
+
+    def mi_with(period):
+        mi = _t1_model_input()
+        mi["operating-conditions"]["period"] = period
+        return mi
+
+    full = rmtExe(mi_with(5.0))["resModel"]
+    a = rmtExe(mi_with(2.5))["resModel"]
+    ck = a["checkpoint"]
+    assert ck["model"] == "T1" and abs(ck["t"] - 2.5) < 1e-12
+    mi_b = mi_with(2.5)
+    mi_b["resume-state"] = ck
+    b = rmtExe(mi_b)["resModel"]
+    assert abs(b["dataPack"][-1]["dataTime"] - 5.0) < 1e-9
+    np.testing.assert_allclose(
+        b["checkpoint"]["state"], full["checkpoint"]["state"],
+        rtol=1e-3, atol=1e-6,
+    )
