@@ -6,21 +6,29 @@
 # value      = ensemble members integrated per second on this device
 # vs_baseline= speedup of the 4096-member ensemble over 4096 sequential
 #              reference (PyREMOT, scipy LSODA) runs on this host's CPU.
+#
+# Each batch candidate runs in a SUBPROCESS: an over-HBM batch crashes the
+# TPU worker, and the crash poisons the parent's jax client, so an
+# in-process walk-down would report 0 even though smaller batches work
+# (observed live). The child re-inits a fresh client per candidate; the
+# parent pauses for worker restart after a crash.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 # f32 mode by default: the whole integration runs in float32 with true-f32
 # matmuls (config.py forces jax_default_matmul_precision=highest), ~10x
-# faster than TPU-emulated f64 and accurate to ~2e-6 vs a converged f64 run
-# at the tolerances below -- far tighter than the reference's LSODA defaults
+# faster than TPU-emulated f64 and accurate to ~1e-4 on-chip at the
+# tolerances below -- tighter than the reference's LSODA defaults
 # (rtol=1e-3). Set RMT_TPU_X64=1 for the f64 path (<=3e-7 accuracy).
 os.environ.setdefault("RMT_TPU_X64", "0")
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
 
 B = int(os.environ.get("RMT_BENCH_B", "4096"))
 X64 = os.environ["RMT_TPU_X64"] != "0"
@@ -58,59 +66,79 @@ def measure_reference_seconds(model_input_factory):
         return None
 
 
-def main():
+def run_child(b, n_chunks):
+    """Time B = n_chunks * b members in this process; print one JSON line."""
     import numpy as np
 
-    import jax
     import jax.numpy as jnp
 
     from dme_case import make_model_input
-
-    t_ref = measure_reference_seconds(lambda: make_model_input(model="N2"))
-
     from rmt_tpu.parallel import run_n2_ensemble_lockstep
 
     mi = make_model_input(model="N2")
 
-    # HBM ceiling: the batched Newton-Schulz preconditioner stacks peak at
-    # ~2.5 MB/member; B=4096 in one shot crashes the v5e worker, so the
-    # ensemble is microbatched at <= 2048 members per device-resident
-    # chunk (one compile, chunks reuse the executable). Walk down on
-    # failure until a chunk size completes.
+    def run_once(t0_offsets):
+        sweep = {"T0": jnp.asarray(523.0 + t0_offsets)}
+        ys, stats = run_n2_ensemble_lockstep(
+            mi, sweep, max_steps=768, rtol=RTOL, atol=ATOL
+        )
+        np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
+        return ys, stats
+
+    offsets = np.linspace(-5.0, 5.0, n_chunks * b).reshape(n_chunks, b)
+    run_once(offsets[0])  # compile
+    t0 = time.perf_counter()
+    for ci in range(n_chunks):
+        ys, stats = run_once(offsets[ci])
+    t_ens = time.perf_counter() - t0
+    assert bool(jnp.all(jnp.isfinite(ys[-1])))
+    assert int(jnp.min(stats.n_accepted)) > 0
+    n_out = ys.shape[0]
+    unfinished = int(jnp.sum(stats.seg < n_out - 1))
+    assert unfinished == 0, f"{unfinished}/{b} members exhausted the budget"
+    print(json.dumps({"b": b, "n_chunks": n_chunks, "t_ens": t_ens}))
+
+
+def main():
+    if os.environ.get("RMT_BENCH_CHILD"):
+        b, n_chunks = (int(x) for x in os.environ["RMT_BENCH_CHILD"].split(","))
+        run_child(b, n_chunks)
+        return
+
+    t_ref = measure_reference_seconds(
+        lambda: __import__("dme_case").make_model_input(model="N2")
+    )
+
+    # HBM ceiling: B=4096 in one batch crashes the v5e worker; microbatch
+    # at <= RMT_BENCH_CHUNK members per device-resident chunk (one
+    # compile, chunks reuse the executable) and walk down on failure.
     CHUNK_MAX = int(os.environ.get("RMT_BENCH_CHUNK", "2048"))
     candidates = [min(B, CHUNK_MAX), 1024, 256, 64]
     result = None
-    for b in candidates:
+    for i, b in enumerate(candidates):
         if b > B:
             continue
         n_chunks = max(B // b, 1)
+        env = dict(os.environ, RMT_BENCH_CHILD=f"{b},{n_chunks}")
         try:
-            def run_once(t0_offsets):
-                sweep = {"T0": jnp.asarray(523.0 + t0_offsets)}
-                ys, stats = run_n2_ensemble_lockstep(
-                    mi, sweep, max_steps=768, rtol=RTOL, atol=ATOL
-                )
-                np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
-                return ys, stats
-
-            offsets = np.linspace(-5.0, 5.0, n_chunks * b).reshape(n_chunks, b)
-            run_once(offsets[0])  # compile
-            t0 = time.perf_counter()
-            for ci in range(n_chunks):
-                ys, stats = run_once(offsets[ci])
-            t_ens = time.perf_counter() - t0
-            assert bool(jnp.all(jnp.isfinite(ys[-1])))
-            assert int(jnp.min(stats.n_accepted)) > 0
-            n_out = ys.shape[0]
-            unfinished = int(jnp.sum(stats.seg < n_out - 1))
-            assert unfinished == 0, f"{unfinished}/{b} members exhausted the budget"
-            if n_chunks > 1:
-                print(f"# B={n_chunks * b} as {n_chunks} chunks of {b}",
-                      file=sys.stderr)
-            result = (n_chunks * b, t_ens)
-            break
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            if proc.returncode == 0:
+                line = proc.stdout.strip().splitlines()[-1]
+                d = json.loads(line)
+                result = (d["b"] * d["n_chunks"], d["t_ens"])
+                break
+            tail = (proc.stderr or "").strip().splitlines()
+            print(f"# B={b} failed: {tail[-1][:140] if tail else proc.returncode}",
+                  file=sys.stderr)
         except Exception as e:  # pragma: no cover - bench robustness
-            print(f"# B={b} failed: {str(e)[:120]}", file=sys.stderr)
+            print(f"# B={b} failed: {str(e)[:140]}", file=sys.stderr)
+        if i < len(candidates) - 1:
+            # a crashed TPU worker needs time to restart before the next try
+            print("# waiting 90s for TPU worker recovery", file=sys.stderr)
+            time.sleep(90)
 
     if result is None:
         print(json.dumps({"metric": "n2_dme_ensemble_members_per_sec",
