@@ -33,6 +33,7 @@
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -97,7 +98,7 @@ def _cmatmul(ar, ai, br, bi):
     return _mm(ar, br) - _mm(ai, bi), _mm(ar, bi) + _mm(ai, br)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14))
 def odeint_ensemble(
     f,
     y0,                     # (B, n)
@@ -113,6 +114,7 @@ def odeint_ensemble(
     batched: bool = False,
     rhs_noise: float | None = None,
     args=None,
+    use_pallas: bool | None = None,
 ):
     """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
 
@@ -187,6 +189,22 @@ def odeint_ensemble(
 
     eye_f32 = jnp.eye(n, dtype=f32)[None]
 
+    # Fused Pallas kernel for the Newton-Schulz update (one kernel per
+    # member, intermediates in VMEM): measured 31.3 -> 42.1 members/s at
+    # B=512 f32 on the chip vs the de-stacked XLA formulation. Default ON
+    # for the TPU backend (RMT_TPU_PALLAS=0 forces the XLA path); off-TPU
+    # it runs only when explicitly requested, in interpreter mode (slow --
+    # tests use it for parity, CPU production stays on XLA).
+    if use_pallas is None:
+        env = os.environ.get("RMT_TPU_PALLAS", "")
+        if env:
+            _pallas = env != "0"
+        else:
+            _pallas = jax.default_backend() == "tpu"
+    else:
+        _pallas = bool(use_pallas)
+    _pallas_interp = jax.default_backend() != "tpu"
+
     def ns_update(Pr, Pcr, Pci, h, J, k: int):
         """k Newton-Schulz iterations toward (I-h*g*J)^-1 and (I-h*mu*J)^-1,
         plus a residual estimate rho ~ max_b ||I - M P||_F / sqrt(n) of the
@@ -195,6 +213,26 @@ def odeint_ensemble(
         J: (B,n,n) f32; h: (B,) working dtype -> cast to f32.
         """
         h32 = h.astype(f32)[:, None, None]
+
+        if _pallas:
+            from ..ops.pallas_ns import ns_fused_step
+
+            def it2p(carry, _):
+                Prc, Pcrc, Pcic = carry
+                Pr2, Pcr2, Pci2, rho_pre = ns_fused_step(
+                    J, Prc, Pcrc, Pcic, h.astype(f32),
+                    gamma=gamma, mu_r=mu_r, mu_i=mu_i,
+                    interpret=_pallas_interp,
+                )
+                return (Pr2, Pcr2, Pci2), rho_pre
+
+            (Pr, Pcr, Pci), rho_pres = lax.scan(
+                it2p, (Pr, Pcr, Pci), None, length=k
+            )
+            rho_pre = rho_pres[-1]
+            rho = jnp.where(rho_pre < 1.0, rho_pre**2, jnp.inf)
+            rho = jnp.where(jnp.isfinite(rho), rho, jnp.inf)
+            return Pr, Pcr, Pci, rho
 
         def mp(Pr, Pcr, Pci):
             # all three J-products as one J @ [Pr|Pcr|Pci] matmul: J is
