@@ -321,6 +321,15 @@ def odeint_ensemble(
         """Approximate solve M dK = R via the stage eigen-transform.
 
         R: (B,3,n) real. Returns dK (B,3,n) real.
+
+        Measured NEGATIVE result: a fused Pallas version of this solve
+        (one kernel per member, matvecs as (n x 1)/(n x 2) MXU products)
+        ran SLOWER on-chip than this XLA formulation (35.4 vs 42.1
+        members/s at B=512) -- the narrow products waste the 128-lane MXU
+        tiles and the per-instance kernel overhead x 6 Newton sweeps
+        exceeds XLA's batched-GEMV path. Unlike the NS update (square
+        n x n products, see ops/pallas_ns.py), matvec application stays
+        on XLA.
         """
         # W = T^-1 @ R (complex, but row 0 is real and row 2 = conj(row 1))
         Wr = jnp.einsum("ij,bjn->bin", Tir, R)
