@@ -1223,22 +1223,33 @@ def _run_m11(model_input, opts):
     from ..models import hetero_dyn
     from ..ops import jacobian as jac_ops
 
+    from ..ops import stencils as _st
+
     sc = model_input.get("solver-config", {})
+    mesh_mode = sc.get("mesh", "normal")
+    if mesh_mode != "normal":
+        # refined two-zone mesh, honored by the reference's runM7
+        # (pbReactor.py:3820-3928, stencil branches :5148-5364)
+        zmesh = _st.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+        z_no_eff = int(zmesh["n_nodes"])
+    else:
+        zmesh = None
+        z_no_eff = int(sc.get("zNo", 10))  # solverSetting T1.zNo
     spec = hetero_dyn.m13_build_spec(
         model_input,
-        z_no=int(sc.get("zNo", 10)),      # solverSetting T1.zNo
+        z_no=z_no_eff,
         r_no=int(sc.get("rNo", 7)),       # T1.rNo.fdm
         t_no=int(sc.get("tNo", 5)),       # T1.tNo
     )
     p = hetero_dyn.m13_params(model_input)
     rtol, atol = _hetero_dyn_tols(model_input, opts)
-    key = ("M11", spec.comp_list, spec.z_no, spec.r_no, spec.t_no,
+    key = ("M11", spec.comp_list, spec.z_no, spec.r_no, spec.t_no, mesh_mode,
            tuple(model_input["reactions"].values()),
            _kinetics_fingerprint(model_input),
            rtol, atol, jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        rhs = hetero_dyn.make_m11_rhs(spec)
+        rhs = hetero_dyn.make_m11_rhs(spec, mesh=zmesh)
         coloring = jac_ops.two_phase_coloring(
             spec.n_layer, spec.r_no + 1, spec.z_no
         )
@@ -1271,7 +1282,8 @@ def _run_m11(model_input, opts):
     ys_t = np.asarray(ys_t)
     t_bounds = np.asarray(ts_grid)
     n_comp, z_no = spec.n_comp, spec.z_no
-    data_xs = np.linspace(0.0, 1.0, z_no)
+    data_xs = (np.asarray(zmesh["xs"]) if zmesh is not None
+               else np.linspace(0.0, 1.0, z_no))
     label_list = list(spec.comp_list) + ["Temperature"]
 
     data_pack = []
@@ -1427,22 +1439,33 @@ def _run_m12(model_input, opts):
     from ..models import hetero_dyn
     from ..ops import jacobian as jac_ops
 
+    from ..ops import stencils as _st
+
     sc = model_input.get("solver-config", {})
+    mesh_mode = sc.get("mesh", "normal")
+    if mesh_mode != "normal":
+        # refined two-zone mesh, honored by the reference's runM8
+        # (pbReactor.py:5511-5600)
+        zmesh = _st.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+        z_no_eff = int(zmesh["n_nodes"])
+    else:
+        zmesh = None
+        z_no_eff = int(sc.get("zNo", 10))
     spec = hetero_dyn.m13_build_spec(
         model_input,
-        z_no=int(sc.get("zNo", 10)),
+        z_no=z_no_eff,
         r_no=7,                        # T1.rNo.oc -- the OC basis size
         t_no=int(sc.get("tNo", 5)),
     )
     p = hetero_dyn.m13_params(model_input)
     rtol, atol = _hetero_dyn_tols(model_input, opts)
-    key = ("M12", spec.comp_list, spec.z_no, spec.r_no, spec.t_no,
+    key = ("M12", spec.comp_list, spec.z_no, spec.r_no, spec.t_no, mesh_mode,
            tuple(model_input["reactions"].values()),
            _kinetics_fingerprint(model_input),
            rtol, atol, jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        rhs = hetero_dyn.make_m12_rhs(spec, clamp_interface=True)
+        rhs = hetero_dyn.make_m12_rhs(spec, clamp_interface=True, mesh=zmesh)
         coloring = jac_ops.two_phase_coloring(
             spec.n_layer, spec.r_no + 1, spec.z_no
         )
@@ -1482,7 +1505,8 @@ def _run_m12(model_input, opts):
     ts_hat_t = np.asarray(ts_hat_t)
     t_bounds = np.asarray(ts_grid)
     n_comp, z_no = spec.n_comp, spec.z_no
-    data_xs = np.linspace(0.0, 1.0, z_no)
+    data_xs = (np.asarray(zmesh["xs"]) if zmesh is not None
+               else np.linspace(0.0, 1.0, z_no))
     label_list = list(spec.comp_list) + ["Temperature"]
 
     data_pack = []
@@ -1741,6 +1765,17 @@ def rmtExe(modelInput: Mapping[str, Any]):
     _validate_model_input(modelInput)
     model_type = modelInput["model"]
     _check_components(modelInput)
+
+    # the two-zone refined mesh exists only where the reference honors it
+    # (runM7/runM8/runM9, pbHeterReactor.runM2, homoModels.runT1); for
+    # every other model the key would be silently ignored -- reject instead
+    _MESH_MODELS = {"T3", "M11", "M12", "M13", "M14"}
+    sc_mesh = modelInput.get("solver-config", {}).get("mesh", "normal")
+    if sc_mesh != "normal" and model_type not in _MESH_MODELS:
+        raise ValueError(
+            f"solver-config mesh={sc_mesh!r} is not supported by model "
+            f"{model_type!r} (refined-mesh models: {sorted(_MESH_MODELS)})"
+        )
 
     if model_type in ("M0", "M4"):
         res_model = _run_pf(modelInput, _solver_options(modelInput))

@@ -415,15 +415,23 @@ def m11_initial_state(spec: M13Spec, p):
     ).reshape(-1)
 
 
-def _gas_phase(spec: M13Spec, p, d, c_raw, T_dl, cs_surf, ts_surf):
+def _gas_phase(spec: M13Spec, p, d, c_raw, T_dl, cs_surf, ts_surf, ws=None):
     """Shared gas-phase balance of the coupled dynamic hetero models
     (modelEquationM7 gas rows, pbReactor.py:5119-5451; modelEquationM8
     gas rows, :6846-7065): BD convection + CD dispersion with Danckwerts
     BC1, film exchange against the given solid-surface values, NEGATIVE
-    interphase-flux sign. Returns (dcdt_gas, dtdt_gas, ga_de)."""
+    interphase-flux sign. Returns (dcdt_gas, dtdt_gas, ga_de).
+
+    ws: axial_stencil_weights(...) result for solver-config mesh !=
+    "normal" (the reference's refined-mesh stencil branches,
+    pbReactor.py:5148-5364); None = uniform grid."""
+    from ..ops import stencils as _st
+
     idx = spec.comp_idx
     z_no = spec.z_no
-    dz = 1.0 / (z_no - 1)
+    if ws is None:
+        ws = _st.axial_stencil_weights(z_no)
+    W1, W2, dz_bc1 = ws["W1"], ws["W2"], ws["dz_bc1"]
     eps = p["BeVoFr"]
 
     c_cl = jnp.maximum(c_raw, EPS_CONST)
@@ -446,25 +454,21 @@ def _gas_phase(spec: M13Spec, p, d, c_raw, T_dl, cs_surf, ts_surf):
 
     mo_fli = d["MaTrCo"][:, None] * d["Cmax"] * (c_raw - cs_surf)
 
-    inv_m = 1.0 / (d["PeNuMa0"] * dz)
+    inv_m = 1.0 / (d["PeNuMa0"] * dz_bc1)
     c_in = p["SpCoi0"] / d["Cmax"]
     c_ghost = (c_in + inv_m * c_raw[:, 1]) / (inv_m + 1.0)
-    c_back = jnp.concatenate([c_ghost[:, None], c_raw[:, :-1]], axis=1)
-    c_fwd = jnp.concatenate([c_raw[:, 1:], c_raw[:, -2:-1]], axis=1)
-    dcdz = (c_raw - c_back) / dz
-    d2c = (c_fwd - 2 * c_raw + c_back) / dz**2
+    dcdz = _st.apply_axial_weights(W1, c_raw, c_ghost[:, None])
+    d2c = _st.apply_axial_weights(W2, c_raw, c_ghost[:, None])
 
     conv_c = -d["vDl"] * dcdz
     disp_c = (eps / d["PeNuMa0"])[:, None] * d2c
     flux_c = (1.0 / d["GaMaCoTe0"]) * mo_fli * d["SpSuAr"]
     dcdt_gas = (p["vf"] / (eps * p["ReLe"])) * (conv_c + disp_c - flux_c)
 
-    inv_h = 1.0 / (d["PeNuHe0"] * dz)
+    inv_h = 1.0 / (d["PeNuHe0"] * dz_bc1)
     t_ghost = (inv_h * T_dl[1]) / (inv_h + 1.0)
-    t_back = jnp.concatenate([t_ghost[None], T_dl[:-1]])
-    t_fwd = jnp.concatenate([T_dl[1:], T_dl[-2:-1]])
-    dtdz = (T_dl - t_back) / dz
-    d2t = (t_fwd - 2 * T_dl + t_back) / dz**2
+    dtdz = _st.apply_axial_weights(W1, T_dl, t_ghost)
+    d2t = _st.apply_axial_weights(W2, T_dl, t_ghost)
 
     conv_t = -d["vDl"] * ga_de_dl * cp_dl * dtdz
     disp_t = (1.0 / d["PeNuHe0"]) * (eps * 1.0) * d2t
@@ -497,7 +501,7 @@ def _ergun_march(p, d, ga_de, dz):
     return jax.lax.stop_gradient(p_march)
 
 
-def make_m11_rhs(spec: M13Spec, scaled_sources: bool = True):
+def make_m11_rhs(spec: M13Spec, scaled_sources: bool = True, mesh=None):
     """Coupled dynamic heterogeneous MoL RHS (reference modelEquationM7,
     pbReactor.py:4389-5491): one ODE system over (n_layer, rNo+1, zNo) --
     row 0 is the gas phase (axial dispersion + Danckwerts BC1, exactly the
@@ -525,11 +529,17 @@ def make_m11_rhs(spec: M13Spec, scaled_sources: bool = True):
     (the reference ships no test that runs this model). The driver
     integrates the dimensionally consistent scaled form (default); parity
     tests pin the raw quirk with scaled_sources=False."""
+    from ..ops import stencils as _st
+
     idx = spec.comp_idx
     n_comp = spec.n_comp
     r_no = spec.r_no
     z_no = spec.z_no
-    dz = 1.0 / (z_no - 1)
+    # refined-mesh quirk: the reference's Ergun march steps by the
+    # NORMAL-zone dz at every interval, dense nodes included
+    # (FiDiMeshGenerator data5, solFiDi.py:812; pbReactor.py:4865)
+    dz = float(mesh["dz_uniform"]) if mesh is not None else 1.0 / (z_no - 1)
+    ws = _st.axial_stencil_weights(z_no, mesh)
     nu_comp = jnp.asarray(spec.stoich.nu_comp)
 
     def rhs(t, y, p, d):
@@ -546,7 +556,7 @@ def make_m11_rhs(spec: M13Spec, scaled_sources: bool = True):
         cs_surf_cl = jnp.maximum(cs_store[:, 0, :], EPS_CONST)
         ts_surf = ts_store[0, :]
         dcdt_gas, dtdt_gas, ga_de = _gas_phase(
-            spec, p, d, c_raw, T_dl, cs_surf_cl, ts_surf
+            spec, p, d, c_raw, T_dl, cs_surf_cl, ts_surf, ws=ws
         )
         p_march = _ergun_march(p, d, ga_de, dz)
 
@@ -619,7 +629,7 @@ def make_m11_rhs(spec: M13Spec, scaled_sources: bool = True):
 
 
 def make_m12_rhs(spec: M13Spec, cp_at_real_temperature: bool = True,
-                 clamp_interface: bool = False):
+                 clamp_interface: bool = False, mesh=None):
     """Coupled dynamic heterogeneous MoL RHS with an orthogonal-collocation
     particle and an algebraically-updated (static) gas-solid interface
     (reference modelEquationM8, pbReactor.py:6050-7181). Gas rows are the
@@ -655,11 +665,15 @@ def make_m12_rhs(spec: M13Spec, cp_at_real_temperature: bool = True,
         (:6771-6775,7015-7019)."""
     from ..ops import oc_particle
 
+    from ..ops import stencils as _st
+
     idx = spec.comp_idx
     n_comp = spec.n_comp
     r_no = spec.r_no
     z_no = spec.z_no
-    dz = 1.0 / (z_no - 1)
+    # same refined-mesh Ergun-march quirk as M11 (normal-zone dz)
+    dz = float(mesh["dz_uniform"]) if mesh is not None else 1.0 / (z_no - 1)
+    ws = _st.axial_stencil_weights(z_no, mesh)
     nu_comp = jnp.asarray(spec.stoich.nu_comp)
     ops = oc_particle.oc_operator()
     assert ops["N"] == r_no, (
@@ -701,7 +715,7 @@ def make_m12_rhs(spec: M13Spec, cp_at_real_temperature: bool = True,
 
         # --- gas phase against the updated surface values ---
         dcdt_gas, dtdt_gas, ga_de = _gas_phase(
-            spec, p, d, c_raw, T_dl, cs_hat[:, -1, :], ts_hat[-1, :]
+            spec, p, d, c_raw, T_dl, cs_hat[:, -1, :], ts_hat[-1, :], ws=ws
         )
         p_march = _ergun_march(p, d, ga_de, dz)
 

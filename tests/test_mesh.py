@@ -230,3 +230,123 @@ def test_m13_refined_mesh_gas_rhs_matches_reference():
                 jnp.asarray(ts_surf))
         )
         np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.reference
+def test_m11_refined_mesh_rhs_matches_reference():
+    """Full coupled M11 RHS on the refined two-zone mesh vs the
+    reference's modelEquationM7 non-uniform stencil branches
+    (pbReactor.py:5148-5364), raw-source quirk pinned."""
+    from PyREMOT.docs.pbReactor import PackedBedReactorClass
+    from test_m13 import _m13_model_input, _reference_m13_args
+    from rmt_tpu.models import hetero_dyn
+    import io
+    from contextlib import redirect_stdout
+
+    mi = _m13_model_input()
+    mi["model"] = "M11"
+    mesh = stencils.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+    z_no = int(mesh["n_nodes"])
+    r_no = 7
+    spec = hetero_dyn.m13_build_spec(mi, z_no=z_no, r_no=r_no)
+    p = hetero_dyn.m13_params(mi)
+    d = hetero_dyn.m13_feed(spec, p)
+    rhs = hetero_dyn.make_m11_rhs(spec, scaled_sources=False, mesh=mesh)
+
+    sorted_, coeff, fun_param, dl_params = _reference_m13_args(mi, z_no, r_no)
+    fun_param["meshSetting"].update({
+        "solverMesh": "refined",
+        "solverMeshSet": False,
+        "varNoLayer": z_no * (r_no + 1),
+        "varNoLayerT": (spec.n_comp + 1) * z_no * (r_no + 1),
+        "varNoColumns": z_no,
+        "zNo": z_no,
+        "dz": mesh["dz_uniform"],
+        "dzs": list(mesh["dzs"]),
+        "zR": list(mesh["rs"]),
+        "zNoNo": [15, 10],
+    })
+    fun_param["const"]["varNoT"] = (spec.n_comp + 1) * z_no
+    params_set = (sorted_, coeff, fun_param, dl_params)
+
+    c_in = np.asarray(p["SpCoi0"]) / float(np.max(np.asarray(p["SpCoi0"])))
+    rng = np.random.default_rng(17)
+    for _ in range(2):
+        c_gas = c_in[:, None, None] * rng.uniform(
+            0.3, 1.1, (spec.n_comp, 1, z_no)
+        )
+        c_sol = c_in[:, None, None] * rng.uniform(
+            0.2, 1.0, (spec.n_comp, r_no, z_no)
+        )
+        t_all = rng.uniform(-0.02, 0.08, (1, r_no + 1, z_no))
+        y = np.concatenate(
+            [np.concatenate([c_gas, c_sol], axis=1), t_all], axis=0
+        ).reshape(-1)
+        with redirect_stdout(io.StringIO()):
+            ref = np.asarray(
+                PackedBedReactorClass.modelEquationM7(0.1, y, params_set)
+            )
+        ours = np.asarray(rhs(0.1, jnp.asarray(y), p, d))
+        np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_m11_refined_mesh_end_to_end():
+    from rmt_tpu.api import rmt
+    from test_m13 import _m13_model_input
+
+    mi = _m13_model_input()
+    mi["model"] = "M11"
+    mi["operating-conditions"]["period"] = 5.0
+    mi["solver-config"].update({"mesh": "refined", "rNo": 4, "tNo": 5})
+    res = rmt.rmtExe(mi)
+    packs = res["resModel"]["dataPack"]
+    assert len(packs) == 5
+    mesh = stencils.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+    for pack in packs:
+        assert pack["successStatus"]
+        ys = np.asarray(pack["dataYs"])
+        assert ys.shape[-1] == mesh["n_nodes"]
+        assert np.all(np.isfinite(ys))
+    last = packs[-1]
+    n_comp = len(mi["feed"]["components"]["shell"])
+    np.testing.assert_allclose(
+        np.sum(np.asarray(last["dataYs"])[:n_comp], axis=0), 1.0, rtol=1e-6
+    )
+
+
+def test_m12_refined_mesh_end_to_end():
+    from rmt_tpu.api import rmt
+    from test_m12 import _m12_model_input
+    from rmt_tpu.models import hetero_dyn
+
+    mesh = stencils.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+    z_no = int(mesh["n_nodes"])
+    mi = _m12_model_input()
+    mi["operating-conditions"]["period"] = 4e-3
+    mi["solver-config"].update({"mesh": "refined", "tNo": 2})
+    spec = hetero_dyn.m13_build_spec(mi, z_no=z_no, r_no=7, t_no=2)
+    p = hetero_dyn.m13_params(mi)
+    c_in = np.asarray(p["SpCoi0"]) / np.max(np.asarray(p["SpCoi0"]))
+    y0 = np.concatenate(
+        [np.tile(c_in[:, None, None], (1, 8, z_no)), np.zeros((1, 8, z_no))],
+        axis=0,
+    ).reshape(-1)
+    mi["resume-state"] = {"model": "M12", "t": 0.0, "state": y0}
+    res = rmt.rmtExe(mi)
+    packs = res["resModel"]["dataPack"]
+    assert len(packs) == 2
+    for pack in packs:
+        assert pack["successStatus"]
+        ys = np.asarray(pack["dataYs"])
+        assert ys.shape[-1] == z_no
+        assert np.all(np.isfinite(ys))
+
+
+def test_refined_mesh_rejected_on_unsupported_model():
+    from rmt_tpu.api import rmt
+    from dme_case import make_model_input
+
+    mi = make_model_input(model="N2")
+    mi["solver-config"]["mesh"] = "refined"
+    with pytest.raises(ValueError, match="mesh"):
+        rmt.rmtExe(mi)
