@@ -89,9 +89,16 @@ def ns_fused_step(J, Pr, Pcr, Pci, h32, *, gamma, mu_r, mu_i,
     residual of the INPUT iterate, computed from the same M P products).
     """
     B, n, _ = J.shape
-    mat_spec = pl.BlockSpec((1, n, n), lambda b, h: (b, 0, 0),
+    # index maps return explicit i32 zeros: under jax_enable_x64 the
+    # literal 0 traces as i64 and Mosaic fails to legalize the transform
+    # function ("failed to legalize operation 'func.func'", observed on
+    # the f64 path)
+    import numpy as _np
+
+    _z = _np.int32(0)
+    mat_spec = pl.BlockSpec((1, n, n), lambda b, h: (b, _z, _z),
                             memory_space=pltpu.VMEM)
-    rho_spec = pl.BlockSpec((1, 8, 128), lambda b, h: (b, 0, 0),
+    rho_spec = pl.BlockSpec((1, 8, 128), lambda b, h: (b, _z, _z),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
