@@ -109,11 +109,13 @@ def main():
         lambda: __import__("dme_case").make_model_input(model="N2")
     )
 
-    # HBM ceiling: B=4096 in one batch crashes the v5e worker; microbatch
-    # at <= RMT_BENCH_CHUNK members per device-resident chunk (one
-    # compile, chunks reuse the executable) and walk down on failure.
-    CHUNK_MAX = int(os.environ.get("RMT_BENCH_CHUNK", "2048"))
-    candidates = [min(B, CHUNK_MAX), 1024, 256, 64]
+    # HBM ceiling: with the fused Pallas NS kernel (no stacked XLA
+    # intermediates) B=4096 fits in ONE batch (65.7 members/s measured vs
+    # 58.6 at 2x2048); the walk-down still covers regressions -- an
+    # over-HBM batch crashes the worker and the next candidate runs in a
+    # fresh subprocess after the recovery pause.
+    CHUNK_MAX = int(os.environ.get("RMT_BENCH_CHUNK", "4096"))
+    candidates = [min(B, CHUNK_MAX), 2048, 1024, 256, 64]
     result = None
     for i, b in enumerate(candidates):
         if b > B:
