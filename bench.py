@@ -80,7 +80,14 @@ def run_child(b, n_chunks):
     def run_once(t0_offsets):
         sweep = {"T0": jnp.asarray(523.0 + t0_offsets)}
         ys, stats = run_n2_ensemble_lockstep(
-            mi, sweep, max_steps=768, rtol=RTOL, atol=ATOL
+            # newton_iters=5 (f32): with the collocation-extrapolation
+            # stage predictor, 5 simplified-Newton sweeps suffice (A/B
+            # on-chip: 36.0 vs 31.9 members/s at 6 sweeps, B=512; max
+            # member 692 of the 768 budget). The f64 leg keeps 6: its
+            # Newton tolerance is proportionally tighter and only f32
+            # was A/B-measured at 5.
+            mi, sweep, max_steps=768, rtol=RTOL, atol=ATOL,
+            newton_iters=6 if X64 else 5
         )
         np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
         return ys, stats

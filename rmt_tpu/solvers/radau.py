@@ -36,6 +36,34 @@ _NEWTON_ITERS = 8
 _NEWTON_TOL = 0.03  # in units of the local error tolerance
 
 
+def extrap_weights(c_np, r):
+    """Collocation-extrapolation weights for the Radau stage predictor.
+
+    W[..., i, j] = l_j(1 + c_i * r), the Lagrange basis over the node set
+    {0, c_1..c_s} evaluated at the NEXT step's stage abscissae expressed in
+    the previous step's local coordinate (r = h_new / h_prev). Used for
+    RADAU5's 'starting values by extrapolation' (Hairer-Wanner; scipy's
+    Radau does the same through its dense output: Z0 = sol(t + h*C) - y).
+    The previous stage offsets Z_j vanish at node 0, so that basis column
+    is dropped. r may be batched: output shape r.shape + (s, s).
+    """
+    xs = [0.0] + [float(x) for x in c_np]
+    s = len(c_np)
+    r = jnp.asarray(r)
+    sv = 1.0 + jnp.asarray(c_np, r.dtype) * r[..., None]   # (..., s)
+    cols = []
+    for j in range(1, s + 1):
+        num = jnp.ones_like(sv)
+        den = 1.0
+        for m in range(s + 1):
+            if m == j:
+                continue
+            num = num * (sv - xs[m])
+            den = den * (xs[j] - xs[m])
+        cols.append(num / den)
+    return jnp.stack(cols, axis=-1)                        # (..., s, s)
+
+
 def radau_tableau(s: int = 3):
     """Radau IIA nodes/weights on [0,1], derived numerically.
 
@@ -115,7 +143,19 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
     A = jnp.asarray(A_np, dtype)
     B = jnp.asarray(b_np, dtype)
     BHAT = jnp.asarray(bhat_np, dtype)
+    Ainv = jnp.asarray(np.linalg.inv(A_np), dtype)
     order_exp = -1.0 / (s + 1)
+
+    def predict_K(Kp, hp, h_new):
+        """Newton starting guess from the previous accepted step's
+        collocation polynomial (see extrap_weights). Falls back to the
+        constant guess exactly in the h_new/hp -> 0 limit (A 1 = c)."""
+        r = jnp.clip(h_new / jnp.maximum(hp, 1e-300), 0.0, 4.0)
+        W = extrap_weights(c_np, r).astype(dtype)          # (s, s)
+        Z = hp * (A @ Kp.reshape(s, n))                    # (s, n)
+        Zg = W @ Z - Z[-1:]
+        Kg = (Ainv @ Zg) / h_new
+        return jnp.where(jnp.isfinite(Kg), Kg, 0.0).reshape(-1)
 
     eye_n = jnp.eye(n, dtype=dtype)
     eye_sn = jnp.eye(s * n, dtype=dtype)
@@ -140,15 +180,14 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
             x = x + jax.scipy.linalg.lu_solve(fac, r.astype(solve_dtype)).astype(dtype)
         return x
 
-    def attempt_step(t, y, h, f0, J):
-        """One Radau step of size h from (t, y). Returns (y1, err_norm, ok)."""
+    def attempt_step(t, y, h, f0, J, K0):
+        """One Radau step of size h from (t, y). Returns
+        (y1, err_norm, nfe, K)."""
         # modified-Newton matrix M = I - h (A (x) J), factored once
         M = eye_sn - h * jnp.kron(A, J)
         fac = _factor(M)
 
         scale = atol + rtol * jnp.abs(y)
-
-        K0 = jnp.tile(f0, (s,))  # initial stage-derivative guess
 
         def newton_body(state):
             K, it, dk_norm, done = state
@@ -185,20 +224,21 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
         err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
         err_norm = jnp.where(converged, err_norm, jnp.inf)
         n_newton_fev = iters * s
-        return y1, err_norm, n_newton_fev
+        return y1, err_norm, n_newton_fev, K
 
     def segment(carry, t_end):
-        t, y, fval, h, err_prev, stats = carry
+        t, y, fval, h, err_prev, stats, Kp, hp, pv = carry
 
         def cond(state):
             t, *_, steps = state
             return (t < t_end) & (steps < max_steps)
 
         def body(state):
-            t, y, fval, h, err_prev, stats, steps = state
+            t, y, fval, h, err_prev, stats, Kp, hp, pv, steps = state
             h_eff = jnp.minimum(h, t_end - t)
             J = jac(t, y)
-            y1, err_norm, nfe = attempt_step(t, y, h_eff, fval, J)
+            K0 = jnp.where(pv, predict_K(Kp, hp, h_eff), jnp.tile(fval, (s,)))
+            y1, err_norm, nfe, K = attempt_step(t, y, h_eff, fval, J, K0)
             accept = err_norm <= 1.0
 
             # clamp before the pow: TPU-emulated f64 yields NaN for inf**-x,
@@ -228,6 +268,9 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
             f_new = jnp.where(accept, f_(t_new, y1), fval)
             y_new = jnp.where(accept, y1, y)
             err_prev_new = jnp.where(accept, err_c, err_prev)
+            Kp_new = jnp.where(accept, K, Kp)
+            hp_new = jnp.where(accept, h_eff, hp)
+            pv_new = pv | accept
             new_stats = RadauStats(
                 stats.n_fev + nfe + 1,
                 stats.n_jev + 1,
@@ -236,18 +279,20 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
                 stats.n_rejected + (~accept).astype(jnp.int32),
                 stats.n_unreached,
             )
-            return t_new, y_new, f_new, h_next, err_prev_new, new_stats, steps + 1
+            return (t_new, y_new, f_new, h_next, err_prev_new, new_stats,
+                    Kp_new, hp_new, pv_new, steps + 1)
 
-        t, y, fval, h, err_prev, stats, _ = lax.while_loop(
+        t, y, fval, h, err_prev, stats, Kp, hp, pv, _ = lax.while_loop(
             cond, body,
-            (t, y, fval, h, err_prev, stats, jnp.asarray(0, jnp.int32)),
+            (t, y, fval, h, err_prev, stats, Kp, hp, pv,
+             jnp.asarray(0, jnp.int32)),
         )
         # a segment that exhausted max_steps leaves t short of t_end and its
         # output row holds a state at the wrong time -- count it as a failure
         eps_t = 8 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t_end), 1.0)
         unreached = (t < t_end - eps_t).astype(jnp.int32)
         stats = stats._replace(n_unreached=stats.n_unreached + unreached)
-        return (t, y, fval, h, err_prev, stats), y
+        return (t, y, fval, h, err_prev, stats, Kp, hp, pv), y
 
     f0 = f_(ts[0], y0)
     span = ts[-1] - ts[0]
@@ -256,7 +301,8 @@ def odeint(f, y0, ts, rtol=1e-7, atol=1e-10, max_steps: int = 10_000, s: int = 3
     stats0 = RadauStats(jnp.asarray(1, jnp.int32), zero, zero, zero, zero, zero)
     carry, ys = lax.scan(
         segment,
-        (ts[0], y0, f0, h0, jnp.asarray(0.0, dtype), stats0),
+        (ts[0], y0, f0, h0, jnp.asarray(0.0, dtype), stats0,
+         jnp.tile(f0, (s,)), jnp.asarray(1.0, dtype), jnp.asarray(False)),
         ts[1:],
     )
     ys = jnp.concatenate([y0[None], ys], axis=0)

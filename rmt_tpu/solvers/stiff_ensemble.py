@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .radau import radau_tableau
+from .radau import extrap_weights, radau_tableau
 
 _SAFETY = 0.9
 _MIN_FACTOR = 0.2
@@ -81,6 +81,13 @@ class EnsembleStats(NamedTuple):
     n_rejected: jnp.ndarray   # (B,)
     seg: jnp.ndarray          # (B,) final output-segment pointer; a member is
                               # fully integrated iff seg == len(ts) - 1
+    n_rej_conv: jnp.ndarray   # (B,) rejections where the Newton increment
+                              # did not converge within the sweep budget
+    n_rej_err: jnp.ndarray    # (B,) rejections with converged Newton but
+                              # embedded error estimate > 1
+    n_rej_rho: jnp.ndarray    # (B,) rejections where Newton's increment
+                              # converged but the NS certificate failed
+                              # (rho >= 0.5 or non-finite residual)
 
 
 _HI = jax.lax.Precision.HIGHEST
@@ -98,7 +105,7 @@ def _cmatmul(ar, ai, br, bi):
     return _mm(ar, br) - _mm(ai, bi), _mm(ar, bi) + _mm(ai, br)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16))
 def odeint_ensemble(
     f,
     y0,                     # (B, n)
@@ -115,6 +122,8 @@ def odeint_ensemble(
     rhs_noise: float | None = None,
     args=None,
     use_pallas: bool | None = None,
+    predict_stages: bool = True,
+    newton_h_barrier: bool = False,
 ):
     """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
 
@@ -161,6 +170,27 @@ def odeint_ensemble(
     Ti = jnp.asarray(T_np.imag, dtype)
     Tir = jnp.asarray(Tinv_np.real, dtype)
     Tii = jnp.asarray(Tinv_np.imag, dtype)
+    Ainv = jnp.asarray(np.linalg.inv(A_np), dtype)
+
+    def predict_K(Kp, hp, h_new, f0):
+        """Stage initial guess by extrapolating the previous accepted
+        step's collocation polynomial (RADAU5's 'starting values by
+        extrapolation'; scipy Radau does the same via its dense output:
+        Z0 = sol(t + h*C) - y). The previous stage values relative to the
+        previous step's start are Z_j = hp*(A Kp)_j; the degree-3
+        polynomial through (0, 0) and (c_j, Z_j) is evaluated at
+        s_i = 1 + c_i*r, r = h_new/hp, and the predicted stage offsets
+        from the CURRENT y are Z(s_i) - Z(1) (c_3 = 1 makes Z(1) the
+        previous step's increment). Newton then starts from
+        K = A^-1 (Y_pred - y)/h_new instead of the constant tile(f0).
+        """
+        r = jnp.clip(h_new / jnp.maximum(hp, 1e-300), 0.0, 4.0)   # (B,)
+        W = extrap_weights(c_np, r).astype(dtype)                 # (B,3,3)
+        Z = hp[:, None, None] * jnp.einsum("ij,bjn->bin", A, Kp)  # (B,3,n)
+        Zg = jnp.einsum("bij,bjn->bin", W, Z) - Z[:, 2:3, :]      # (B,3,n)
+        Kg = jnp.einsum("ij,bjn->bin", Ainv, Zg) / h_new[:, None, None]
+        Kg = jnp.where(jnp.isfinite(Kg), Kg, 0.0)
+        return Kg
 
     if batched:
         fB = f_                            # (B,), (B,n) -> (B,n)
@@ -378,7 +408,7 @@ def odeint_ensemble(
     chunk = j_every  # attempts between global Jacobian refreshes
 
     def attempt(state, _):
-        t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st = state
+        t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st, Kp, hp, pv, hbar = state
         seg_c = jnp.minimum(seg + 1, n_out - 1)
         t_end = ts[seg_c]                               # (B,)
         active = seg < (n_out - 1)
@@ -394,6 +424,10 @@ def odeint_ensemble(
         # --- simplified Newton on the stacked stages (fixed sweeps, masked)
         f0 = fval
         K = jnp.tile(f0[:, None, :], (1, 3, 1))
+        if predict_stages:
+            # extrapolated stage guess once a previous accepted step exists
+            Kg = predict_K(Kp, hp, h_eff, f0)
+            K = jnp.where(pv[:, None, None], Kg, K)
 
         def newton(carry_n, _):
             K, done, dn, rn = carry_n
@@ -434,6 +468,7 @@ def odeint_ensemble(
         )
         # certify the linear solves: a silently-bad preconditioner makes
         # Newton increments tiny while the system stays unsolved
+        newton_done = conv
         conv = conv & (rho < 0.5) & jnp.isfinite(res_n)
 
         y1 = y + h_eff[:, None] * jnp.einsum("j,bjn->bn", Bv, K)
@@ -465,6 +500,23 @@ def odeint_ensemble(
         h_new = jnp.where(
             accept & clamped, jnp.maximum(h, h_eff * factor), h_eff * factor
         )
+        if newton_h_barrier:
+            # Newton-failure barrier: with the error estimate far below 1
+            # the I-controller grows h 1.4x/step until simplified Newton
+            # stops converging, then halves -- a grow-until-fail limit
+            # cycle measured at ~30% rejection rate (100% of rejections
+            # were Newton-increment failures, 0% error-estimate). Remember
+            # the failed step size and cap regrowth below it until the
+            # next Jacobian refresh lifts the barrier (chunk_body resets
+            # it to inf: staleness of J is one driver of the failures).
+            # Default OFF: on-chip (B=512 f32 N2) the barrier RAISED the
+            # max member's accepted-step count (+52, total attempts 696
+            # vs 633 with the stage predictor alone) -- the clamp holds h
+            # below what noisier on-chip Newton could actually sustain.
+            # On CPU it mildly helps (603 vs 619 max attempts). Kept as
+            # an option for workloads where rejections cluster.
+            hbar = jnp.where(active & ~conv, jnp.minimum(hbar, 0.8 * h_eff), hbar)
+            h_new = jnp.minimum(h_new, hbar)
         h_new = jnp.where(active, h_new, h)
 
         t_new = jnp.where(accept, t + h_eff, t)
@@ -491,17 +543,34 @@ def odeint_ensemble(
         out = jnp.where(onehot[:, :, None], y_new[None, :, :], out)
         seg_new = seg + crossed.astype(jnp.int32)
 
+        rejected = (~accept) & active
         st_new = EnsembleStats(
             st.n_fev + jnp.where(active, 3 * newton_iters + 1, 0),
             st.n_jev,
             st.n_accepted + accept.astype(jnp.int32),
-            st.n_rejected + ((~accept) & active).astype(jnp.int32),
+            st.n_rejected + rejected.astype(jnp.int32),
             seg_new,
+            st.n_rej_conv + (rejected & ~newton_done).astype(jnp.int32),
+            st.n_rej_err + (rejected & conv).astype(jnp.int32),
+            st.n_rej_rho + (rejected & newton_done & ~conv).astype(jnp.int32),
         )
-        return (t_new, y_new, yc_new, f_new, h_new, J, Pr, Pcr, Pci, seg_new, out, st_new), None
+        # predictor state: the last ACCEPTED step's stages and size
+        Kp_new = jnp.where(accept[:, None, None], K, Kp)
+        hp_new = jnp.where(accept, h_eff, hp)
+        pv_new = pv | accept
+        return (t_new, y_new, yc_new, f_new, h_new, J, Pr, Pcr, Pci, seg_new,
+                out, st_new, Kp_new, hp_new, pv_new, hbar), None
 
     def chunk_body(state, _):
-        t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st = state
+        (t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st,
+         Kp, hp, pv, hbar) = state
+        # a fresh Jacobian lifts the Newton-failure step barrier entirely.
+        # Measured alternative (B=64 CPU f32, N2 DME): lifting by only 2x
+        # per refresh traps early-transient members at tiny h for many
+        # chunks -- mean attempts ROSE 450 -> 616 and some members never
+        # finished. The full reset pays ~1 failed probe per chunk but
+        # recovers the step size immediately.
+        hbar = jnp.full_like(hbar, jnp.inf)
         # refresh the Jacobian once per chunk; h grows <= 1.4^16 within it
         J = jacB(t, y).astype(f32)
         # reset any non-finite preconditioner to the safe cold seed
@@ -516,7 +585,8 @@ def odeint_ensemble(
         Pr, Pcr, Pci, _ = ns_update(Pr, Pcr, Pci, h, J, ns_refresh)
         st = st._replace(n_jev=st.n_jev + 1)
 
-        state = (t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st)
+        state = (t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st,
+                 Kp, hp, pv, hbar)
         state, _ = lax.scan(attempt, state, None, length=chunk)
         return state, None
 
@@ -532,7 +602,7 @@ def odeint_ensemble(
 
     zero_b = jnp.zeros(Bsz, jnp.int32)
     stats0 = EnsembleStats(zero_b + 1, jnp.asarray(1, jnp.int32), zero_b, zero_b,
-                           zero_b)
+                           zero_b, zero_b, zero_b, zero_b)
     out0 = jnp.zeros((n_out - 1, Bsz, n), dtype)
     state0 = (
         jnp.full((Bsz,), ts[0], dtype),
@@ -547,15 +617,17 @@ def odeint_ensemble(
         zero_b,
         out0,
         stats0,
+        jnp.tile(f0[:, None, :], (1, 3, 1)),   # Kp (unused until pv)
+        jnp.ones((Bsz,), dtype),               # hp
+        jnp.zeros((Bsz,), bool),               # pv: no accepted step yet
+        jnp.full((Bsz,), jnp.inf, dtype),      # hbar
     )
     n_chunks = max(max_steps // chunk, 1)
     state, _ = lax.scan(chunk_body, state0, None, length=n_chunks)
-    seg_final = state[9]
-    stats = state[11]
+    y_fin, seg_final, out, stats = state[1], state[9], state[10], state[11]
     # members that exhausted the budget keep their final integrated state
     # in the remaining output slots (detectable via stats/n_accepted)
-    out = state[10]
     onehot_tail = jnp.arange(1, n_out)[:, None] > seg_final[None, :]
-    out = jnp.where(onehot_tail[:, :, None], state[1][None, :, :], out)
+    out = jnp.where(onehot_tail[:, :, None], y_fin[None, :, :], out)
     ys = jnp.concatenate([y0[None], out], axis=0)
     return ys, stats

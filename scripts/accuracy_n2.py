@@ -1,0 +1,75 @@
+# Measures the f32-mode accuracy of the lockstep N2 ensemble against a
+# converged f64 run of the SAME sweep (the bound quoted in STATUS.md).
+# Two subprocesses because the float mode is a process-level config:
+#   child f64: rtol=1e-9 atol=1e-12 (converged reference)
+#   child f32: bench tolerances rtol=1e-5 atol=1e-7
+# Relative error is measured on all output states with an atol floor.
+# Usage: python scripts/accuracy_n2.py [B]
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(x64: bool, b: int, path: str):
+    sys.path.insert(0, ROOT)
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    import jax.numpy as jnp
+
+    from dme_case import make_model_input
+    from rmt_tpu.parallel import run_n2_ensemble_lockstep
+
+    mi = make_model_input(model="N2")
+    offs = np.linspace(-5.0, 5.0, b)
+    sweep = {"T0": jnp.asarray(523.0 + offs)}
+    kw = {}
+    if os.environ.get("ACC_NO_PREDICT"):
+        kw["predict_stages"] = False
+    if os.environ.get("ACC_NO_BARRIER"):
+        kw["newton_h_barrier"] = False
+    if x64:
+        ys, st = run_n2_ensemble_lockstep(
+            mi, sweep, max_steps=2048, rtol=1e-9, atol=1e-12, **kw)
+    else:
+        rtol = float(os.environ.get("ACC_RTOL", "1e-5"))
+        atol = float(os.environ.get("ACC_ATOL", "1e-7"))
+        kw.setdefault("newton_iters", int(os.environ.get("ACC_NI", "5")))
+        ys, st = run_n2_ensemble_lockstep(
+            mi, sweep, max_steps=768, rtol=rtol, atol=atol, **kw)
+    n_out = ys.shape[0]
+    assert int(jnp.sum(st.seg < n_out - 1)) == 0, "budget exhausted"
+    np.save(path, np.asarray(ys, np.float64))
+
+
+def main():
+    if os.environ.get("ACC_CHILD"):
+        x64, b, path = os.environ["ACC_CHILD"].split(";")
+        child(x64 == "1", int(b), path)
+        return
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    outs = {}
+    for mode in ("1", "0"):
+        path = f"/tmp/acc_n2_{mode}.npy"
+        env = dict(os.environ, ACC_CHILD=f"{mode};{b};{path}",
+                   RMT_TPU_X64=mode, JAX_PLATFORMS=os.environ.get(
+                       "ACC_PLATFORM", "cpu"))
+        subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env, check=True)
+        outs[mode] = np.load(path)
+    ref, f32 = outs["1"], outs["0"]
+    denom = np.maximum(np.abs(ref), 1e-7)
+    rel = np.abs(f32 - ref) / denom
+    print(json.dumps({
+        "B": b,
+        "max_rel_err": float(rel.max()),
+        "mean_rel_err": float(rel.mean()),
+        "platform": os.environ.get("ACC_PLATFORM", "cpu"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

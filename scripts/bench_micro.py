@@ -27,7 +27,7 @@ mi = make_model_input(model="N2")
 def run(offs):
     sweep = {"T0": jnp.asarray(523.0 + offs)}
     ys, stats = run_n2_ensemble_lockstep(
-        mi, sweep, max_steps=768, rtol=RTOL, atol=ATOL
+        mi, sweep, max_steps=768, rtol=RTOL, atol=ATOL, newton_iters=5
     )
     np.asarray(ys[-1, 0, 0])  # host sync
     return ys, stats
