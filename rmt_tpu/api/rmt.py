@@ -62,7 +62,7 @@ _DEFAULT_ATOL = 1e-10
 # hides typos like "rtoll")
 _SOLVER_CONFIG_KEYS = {
     "ivp", "root", "mesh", "display-result", "rtol", "atol",
-    "zNo", "tNo", "timesNo", "rNo", "rampList", "numerical-method",
+    "zNo", "tNo", "timesNo", "rNo", "rampList", "numerical-method", "NuEl",
 }
 _ROOT_METHODS = {"default", "fsolve", "root", "least_squares"}
 
@@ -963,14 +963,21 @@ def _run_t2(model_input, opts):
         or model_input.get("operating-conditions", {}).get("numerical-method")
         or "fdm"
     )
-    spec = particle.build_spec(model_input)
+    # "fem" = OCFE: NuEl 4-point Lobatto elements over the radius
+    # (reference particleModels.py:1270-1282; NuEl default solSetting.py:101)
+    nu_el = int(model_input.get("solver-config", {}).get("NuEl", 6))
+    if method == "fem":
+        spec = particle.build_spec(model_input, r_no=3 * nu_el + 1)
+    else:
+        spec = particle.build_spec(model_input)
     p = particle.build_params(model_input)
-    key = ("T2", spec.comp_list, spec.iso_thermal, spec.r_no, method,
+    key = ("T2", spec.comp_list, spec.iso_thermal, spec.r_no, method, nu_el,
            _kinetics_fingerprint(model_input), jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
         res_fn = (
             particle.make_t2_residual_oc(spec) if method == "oc"
+            else particle.make_t2_residual_ocfe(spec, nu_el) if method == "fem"
             else particle.make_t2_residual_fn(spec)
         )
 
@@ -988,7 +995,18 @@ def _run_t2(model_input, opts):
 
     resh = np.asarray(x).reshape(spec.n_layer, spec.r_no)
     conc_dl, conc_re, mo_fri, temp_dl, temp_re = _particle_sort(spec, resh, p)
-    data_rs = np.linspace(0.0, 1.0, spec.r_no)
+    # radial output grid: the discretization's own nodes (reference
+    # particleModels.py:1255-1282 -- linspace/Xc/xi per method)
+    if method == "oc":
+        from ..ops import oc_particle as _ocp
+
+        data_rs = np.asarray(_ocp.oc_operator()["Xc"], dtype=np.float64)
+    elif method == "fem":
+        from ..ops import ocfe as _ocfe
+
+        data_rs = np.asarray(_ocfe.ocfe_basis(nu_el)["xi"], dtype=np.float64)
+    else:
+        data_rs = np.linspace(0.0, 1.0, spec.r_no)
     label_list = list(spec.comp_list) + ["Temperature"]
     data_y = np.concatenate([conc_re, temp_re], axis=0)
     xy_list = [[data_rs, row] for row in data_y]

@@ -405,6 +405,79 @@ def make_t2_residual_oc(spec: ParticleSpec):
     return residual
 
 
+def make_t2_residual_ocfe(spec: ParticleSpec, nu_el: int = 6):
+    """Steady particle residual on the OCFE basis (nu_el 4-point Lobatto
+    elements) -- the reference's `numerical-method: "fem"` route of runT2
+    (particleModels.py:1126,1270-1282 grid; modelEquationT2 fem branches
+    :2112-2124 mass and :2180-2196 heat, which call the unrunnable
+    solCatParticle2 assembler -- see ops/ocfe.py for its defects).
+    Same equations as make_t2_residual_oc on the multi-element grid:
+    interior collocation rows with the scaled reaction/heat sources, value
+    + flux continuity at element interfaces, center symmetry, and an
+    active Robin surface row with the FDM-matched transfer numbers
+    (beta_c = rf*MaTrCo/SoDiiEff; the reference's fem branch folds an
+    hi[-1] metric into _DiLeNu because its Robin row forgets the 1/h --
+    our assembled surface row keeps the metric, so beta stays global)."""
+    from ..ops import ocfe
+
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    r_no = spec.r_no
+    n_layer = spec.n_layer
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    eq_idx = spec.stoich.eq_idx
+    eq_nu = jnp.asarray(spec.stoich.eq_nu)
+    dh25 = jnp.asarray(spec.stoich.dh_rxn_25)
+    ops = ocfe.ocfe_operator(nu_el)
+    assert ops["NuToCoPo"] == r_no, (
+        f"the OCFE branch with NuEl={nu_el} has {ops['NuToCoPo']} radial "
+        f"points; got rNo={r_no}"
+    )
+
+    def residual(y, p, d):
+        rf = p["PaDi"] / 2
+        ca_po = p["CaPo"]
+
+        Y = y.reshape(n_layer, r_no)
+        cs = jnp.maximum(Y[:n_comp], EPS_CONST)
+        c_max = jnp.max(p["SpCoi0"])
+        cs_re = cs * c_max
+        ts = Y[n_comp] if not spec.iso_thermal else jnp.zeros((r_no,), y.dtype)
+        ts_re = ts * p["T0"] + p["T0"]
+
+        cos_sp_re = jnp.sum(cs_re, axis=0)
+        mo_fri = (cs_re / cos_sp_re).T
+
+        rate_fn = lambda T_, mf_, sc_: spec.rates(
+            T_, p["P0"], mf_, sc_, p["kinetic_overrides"]
+        )
+        r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1), out_axes=1)(ts_re, mo_fri, cs_re)
+        ri_r = jnp.einsum("mk,mz->kz", nu_comp, r0)
+
+        so_dii_eff = (ca_po / p["CaTo"]) * d["GaDii0"]
+        ri_scaled = (1 / d["SoMaDiTe0"])[:, None] * (1 - ca_po) * ri_r
+        beta_c = rf * d["MaTrCo"] / so_dii_eff
+
+        fc = jax.vmap(
+            lambda ys, src, b, cb: ocfe.ocfe_residual(ys, 1.0, src, b, cb, ops)
+        )(cs, ri_scaled, beta_c, d["Cb_DiLe"])
+        rows = [fc]
+        if not spec.iso_thermal:
+            en_ch = (thermo.cp_mean(ts_re, eq_idx) @ eq_nu.T) * (
+                ts_re[:, None] - Tref
+            )
+            ov_he_re_t = jnp.sum(r0.T * (en_ch + dh25), axis=-1)
+            dh_scaled = (1 / d["SoHeDiTe0"]) * (1 - ca_po) * (-ov_he_re_t)
+            beta_t = rf * d["HeTrCo"] / (d["GaThCoMix0"] * ca_po)
+            ft = ocfe.ocfe_residual(
+                ts, ca_po * 1.0, dh_scaled, beta_t, d["Tb_DiLe"], ops
+            )
+            rows.append(ft[None])
+        return jnp.concatenate(rows, axis=0).reshape(-1)
+
+    return residual
+
+
 def t2_derived(spec: ParticleSpec, p):
     """Computed transport/bulk state for the steady model (reference
     runT2, particleModels.py:1200-1470): Chapman-Enskog diffusivities,

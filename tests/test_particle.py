@@ -232,6 +232,32 @@ def test_t2_oc_branch_consistent_with_fdm():
     np.testing.assert_allclose(fb[:, 0], fa[:, 0], rtol=5e-2, atol=5e-3)
 
 
+def test_t2_fem_branch_consistent_with_fdm():
+    """Steady particle with numerical-method "fem" (OCFE; the reference's
+    own solCatParticle2 assembler cannot produce a correct system, see
+    ops/ocfe.py, so FDM cross-consistency is the oracle). The 6-element
+    Lobatto grid (19 radial points) resolves the near-uniform DME profiles
+    tighter than the 7-point bases, so the surface/center agreement bound
+    is the FDM discretization error."""
+    from rmt_tpu import rmtExe
+
+    res_f = rmtExe(_t2_model_input())["resModel"]
+
+    mi2 = _t2_model_input()
+    mi2.setdefault("solver-config", {})["numerical-method"] = "fem"
+    res_o = rmtExe(mi2)["resModel"]
+
+    fa = np.asarray(res_f["dataPack"][0]["dataY"])
+    fb = np.asarray(res_o["dataPack"][0]["dataY"])
+    assert fb.shape == (fa.shape[0], 19)
+    assert np.all(np.isfinite(fb))
+    np.testing.assert_allclose(fb[:, -1], fa[:, -1], rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(fb[:, 0], fa[:, 0], rtol=5e-2, atol=5e-3)
+    # the output grid is the OCFE element grid
+    xs = res_o["dataList"][0]["x"]
+    assert xs.shape == (19,) and xs[0] == 0.0 and abs(xs[-1] - 1.0) < 1e-12
+
+
 def test_t1_checkpoint_resume_matches_single_run():
     """T1 checkpoint/resume: chained half-period runs reproduce the
     full-period particle state."""
