@@ -17,12 +17,21 @@
 
 from __future__ import annotations
 
+import os
 import types
 from typing import Any, Mapping
 
 import jax.numpy as jnp
 
 from ..constants import R_CONST
+from ..ops import accurate_math as _am
+
+# TPU XLA's f32 exp/log/pow are ~1e-5-accurate fast approximations; the
+# compensated f32 implementations in ops/accurate_math recover ~IEEE
+# quality at elementwise-op cost. They dispatch on dtype (f64 passes
+# through to jnp), so this is a pure f32-mode knob. RMT_TPU_ACCURATE_F32=0
+# reverts to the native ops.
+_ACCURATE_F32 = os.environ.get("RMT_TPU_ACCURATE_F32", "1") != "0"
 
 
 class _MathShim(types.ModuleType):
@@ -38,17 +47,18 @@ class _MathShim(types.ModuleType):
 
     @staticmethod
     def exp(x):
-        return jnp.exp(x)
+        return _am.exp(x) if _ACCURATE_F32 else jnp.exp(x)
 
     @staticmethod
     def log(x, base=None):
+        lg = _am.log if _ACCURATE_F32 else jnp.log
         if base is None:
-            return jnp.log(x)
-        return jnp.log(x) / jnp.log(base)
+            return lg(x)
+        return lg(x) / lg(base)
 
     @staticmethod
     def log10(x):
-        return jnp.log10(x)
+        return _am.log10(x) if _ACCURATE_F32 else jnp.log10(x)
 
     @staticmethod
     def log2(x):
@@ -60,7 +70,7 @@ class _MathShim(types.ModuleType):
 
     @staticmethod
     def pow(x, y):
-        return jnp.power(x, y)
+        return _am.pow(x, y) if _ACCURATE_F32 else jnp.power(x, y)
 
     @staticmethod
     def fabs(x):
