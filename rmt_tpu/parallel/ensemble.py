@@ -207,6 +207,70 @@ def make_n1_ensemble(
     return single, build
 
 
+def run_m11_sweep(
+    model_input: Mapping[str, Any],
+    sweep: Mapping[str, Any],
+    rtol: float = 1e-5,
+    atol: float = 1e-6,
+    mesh: Mesh | None = None,
+    **solver_kwargs,
+):
+    """Ensemble sweep of the M11 dynamic heterogeneous reactor.
+
+    A batch of coupled gas+particle transients (state (noLayer, rNo+1,
+    zNo) per member, reference pbReactor.runM7) as ONE vmapped jitted
+    Radau run: every member keeps its own adaptive step control, and the
+    Newton matrices use the two-phase colored Jacobian (3 colors per gas
+    variable + 1 per solid (layer, r) variable). Swept leaves may be
+    operating conditions ("T0", "P0", "vf", ...) or kinetic-override
+    constants; the dp mesh shards members across chips. Tolerance
+    defaults match the single-run M11 (api.rmt._hetero_dyn_tols).
+
+    Returns (ys, stats): ys (B, tNo+1, noLayer*(rNo+1)*zNo) dimensionless
+    states, stats per-member RadauStats.
+    """
+    from ..models import hetero_dyn
+    from ..ops import jacobian as jac_ops
+    from ..ops import stencils as _st
+
+    sc = model_input.get("solver-config", {})
+    if sc.get("mesh", "normal") != "normal":
+        zmesh = _st.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+        z_no = int(zmesh["n_nodes"])
+    else:
+        zmesh = None
+        z_no = int(sc.get("zNo", 10))
+    spec = hetero_dyn.m13_build_spec(
+        model_input,
+        z_no=z_no,
+        r_no=int(sc.get("rNo", 7)),
+        t_no=int(sc.get("tNo", 5)),
+    )
+    base = hetero_dyn.m13_params(model_input)
+    params, axes = batch_params(base, sweep)
+    if mesh is not None:
+        params = shard_batch(mesh, params, axes)
+
+    rhs = hetero_dyn.make_m11_rhs(spec, mesh=zmesh)
+    coloring = jac_ops.two_phase_coloring(spec.n_layer, spec.r_no + 1, spec.z_no)
+
+    def single(pp):
+        d = hetero_dyn.m13_feed(spec, pp)
+        y0 = hetero_dyn.m11_initial_state(spec, pp)
+        ts = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(y0.dtype)
+        jac = jac_ops.colored_jacobian_from(
+            lambda t, y: rhs(t, y, pp, d), coloring
+        )
+        ys, stats = radau.odeint(
+            rhs, y0, ts, rtol=rtol, atol=atol, args=(pp, d), jac=jac,
+            **solver_kwargs,
+        )
+        return ys, stats
+
+    fn = jax.jit(jax.vmap(single, in_axes=(axes,)))
+    return fn(params)
+
+
 def run_m14_sweep(
     model_input: Mapping[str, Any],
     sweep: Mapping[str, Any],

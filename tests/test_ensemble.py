@@ -210,3 +210,32 @@ def test_m14_sweep_kinetic_override():
     out = run_m14_sweep(mi, {"K1": jnp.asarray([35.45, 1e-6])})
     assert bool(jnp.all(out["converged"]))
     assert float(jnp.max(jnp.abs(out["states"][0] - out["states"][1]))) > 1e-5
+
+
+def test_m11_sweep_vmapped():
+    """Dynamic-hetero ensemble: a batch of M11 gas+particle transients as
+    one vmapped Radau run; member 0 must match the single-run rmtExe M11
+    trajectory (same grid/tolerances), and a hotter member must differ."""
+    from test_m13 import _m13_model_input
+
+    from rmt_tpu import rmtExe
+    from rmt_tpu.parallel import run_m11_sweep
+
+    mi = _m13_model_input()
+    mi["model"] = "M11"
+    # small grid keeps the vmapped dense-LU Radau cheap on CPU
+    mi["solver-config"] = dict(
+        mi.get("solver-config", {}), zNo=5, rNo=3, tNo=3
+    )
+    T0 = float(mi["operating-conditions"]["temperature"])
+    ys, stats = run_m11_sweep(mi, {"T0": jnp.asarray([T0, T0 + 8.0])})
+    assert ys.shape[0] == 2 and ys.shape[1] == 4
+    assert bool(jnp.all(jnp.isfinite(ys)))
+
+    single = rmtExe(dict(mi))["resModel"]
+    np.testing.assert_allclose(
+        np.asarray(ys[0, -1]),
+        np.asarray(single["checkpoint"]["state"]).reshape(-1),
+        rtol=2e-5, atol=1e-9,
+    )
+    assert float(jnp.max(jnp.abs(ys[1] - ys[0]))) > 1e-4
