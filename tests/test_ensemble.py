@@ -239,3 +239,16 @@ def test_m11_sweep_vmapped():
         rtol=2e-5, atol=1e-9,
     )
     assert float(jnp.max(jnp.abs(ys[1] - ys[0]))) > 1e-4
+
+
+def test_lockstep_early_exit_skips_budget_chunks():
+    """Once every member has written its last output segment, the
+    remaining Jacobian-refresh chunks are skipped at runtime (lax.cond in
+    chunk_body): n_jev stops counting far below the budget's chunk count
+    while all members still finish."""
+    mi = make_model_input(model="N2")
+    sweep = {"T0": jnp.asarray([523.0, 526.0])}
+    # generous budget: 4096 attempts = 256 chunks of 16
+    ys, stats = run_n2_ensemble_lockstep(mi, sweep, max_steps=4096)
+    assert int(jnp.max(stats.seg)) == ys.shape[0] - 1
+    assert int(stats.n_jev) < 100, int(stats.n_jev)
