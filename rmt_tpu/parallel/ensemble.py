@@ -226,6 +226,17 @@ def run_m11_sweep(
     constants; the dp mesh shards members across chips. Tolerance
     defaults match the single-run M11 (api.rmt._hetero_dyn_tols).
 
+    Why this vmaps the LU-based Radau instead of riding the lockstep
+    Newton-Schulz engine: the M11 seed transient (solid phase at the
+    reference's 1e-6 seed, LHHW reverse rates near-singular) measures
+    |Re lambda|_max ~ 5e13 and cond(I - h*gamma*J) ~ 6e9 even at
+    h = 1e-4 -- beyond ANY f32-matmul preconditioner (eps32 * cond >> 1),
+    so the lockstep engine's Newton stalls at h ~ 1e-4 while f64 LU
+    solves the same systems losing only ~cond*eps64 ~ 1e-6 (measured:
+    1383 accepted lockstep steps cover < 3% of the span that 289 Radau
+    steps finish). Batched f64 LU is slow on TPU -- prefer sharding
+    members across chips via `mesh` over huge single-chip batches here.
+
     Returns (ys, stats): ys (B, tNo+1, noLayer*(rNo+1)*zNo) dimensionless
     states, stats per-member RadauStats.
     """

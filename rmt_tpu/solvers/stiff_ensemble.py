@@ -599,7 +599,31 @@ def odeint_ensemble(
         Pr = jnp.where(bad[:, None, None], Pr0c, Pr)
         Pcr = jnp.where(bad[:, None, None], Pcr0c, Pcr)
         Pci = jnp.where(bad[:, None, None], Pci0c, Pci)
-        Pr, Pcr, Pci, _ = ns_update(Pr, Pcr, Pci, h, J, ns_refresh)
+        Pr, Pcr, Pci, rho_w = ns_update(Pr, Pcr, Pci, h, J, ns_refresh)
+
+        # cold-rescue silently-diverged warm iterates: a Newton-Schulz
+        # iterate outside its basin squares AWAY from the inverse while
+        # staying finite, and the warm chain then never recovers at any
+        # later refresh (observed on M11's violently nonlinear transient:
+        # 694 accepted steps pinned at tiny h with 30% Newton-failure
+        # rejections, fresh J every attempt). When any member's certified
+        # residual says the refresh failed, redo those members from the
+        # guaranteed-convergent cold seed. Behind a scalar cond: stiff-but-
+        # tame ensembles (the N2 bench) never pay for it.
+        need = ~(rho_w < 0.5)
+
+        def rescue(ops):
+            Pr, Pcr, Pci = ops
+            Prc, Pcrc, Pcic, _ = ns_update(
+                Pr0c, Pcr0c, Pci0c, h, J, ns_refresh
+            )
+            m = need[:, None, None]
+            return (jnp.where(m, Prc, Pr), jnp.where(m, Pcrc, Pcr),
+                    jnp.where(m, Pcic, Pci))
+
+        Pr, Pcr, Pci = lax.cond(
+            jnp.any(need), rescue, lambda ops: ops, (Pr, Pcr, Pci)
+        )
         st = st._replace(n_jev=st.n_jev + 1)
 
         state = (t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st,
