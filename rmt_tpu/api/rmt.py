@@ -1586,7 +1586,6 @@ def _run_m13(model_input, opts):
     (pbHeterReactor.py:1148)."""
     from ..models import hetero_dyn
     from ..ops import stencils as _st
-    from ..solvers import newton
 
     sc = model_input.get("solver-config", {})
     mesh_mode = sc.get("mesh", "normal")
@@ -1611,98 +1610,12 @@ def _run_m13(model_input, opts):
            opts["rtol"], opts["atol"], jax.config.jax_enable_x64)
     runner = _jit_cache.get(key)
     if runner is None:
-        # driver-level salvage: the reference's interphase-flux sign makes
-        # the gas phase linearly unstable (see make_m13_gas_rhs docstring);
-        # integrate with the corrected sign of its sister model
-        # pbReactor.modelEquationM7:5268
-        gas_rhs = hetero_dyn.make_m13_gas_rhs(
-            spec, flux_sign=-1.0, mesh=mesh,
-            # refined meshes: smooth the EPS clamp so the inlet-front
-            # undershoot doesn't break the stage Newton (see the
-            # make_m13_gas_rhs docstring)
-            clamp_width=1e-3 if mesh is not None else 0.0,
-        )
-        node_res = hetero_dyn.make_m13_solid_node_residual(spec)
-        n_comp, n_layer, r_no, z_no = (
-            spec.n_comp, spec.n_layer, spec.r_no, spec.z_no
-        )
-
-        def run(pp):
-            d = hetero_dyn.m13_feed(spec, pp)
-            y_gas = hetero_dyn.m13_gas_initial_state(spec, pp)
-            y_solid = hetero_dyn.m13_solid_initial_state(spec, pp)
-            # initial interface = solid IV surface row; initial bulk = gas IV
-            cs_surf = y_solid[:n_comp, 0, :]
-            ts_surf = y_solid[n_comp, 0, :]
-            g0 = y_gas.reshape(n_layer, z_no)
-            c_bulk, t_bulk = g0[:n_comp], g0[n_comp]
-            ts_grid = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(
-                y_gas.dtype
-            )
-
-            def solve_node(y_node, cb, tb):
-                # clamp the gas bulk before it enters the particle Robin
-                # BC: on refined meshes the sharp inlet front undershoots
-                # (central-difference Gibbs oscillation) and a negative
-                # bulk concentration drives the particle Newton into
-                # unphysical states (Ts < 0 K absolute, measured); the
-                # reference clamps every state with max(EPS) before use
-                # (pbHeterReactor.py:1575,1791). On refined meshes use the
-                # same SMOOTH clamp as the gas RHS: a hard clamp to 1e-30
-                # pins near-zero species on the singular LHHW reverse-rate
-                # regime where the particle Newton stalls (measured at
-                # interval 3 of the refined e2e)
-                eps_c = hetero_dyn.EPS_CONST
-                if mesh is not None:
-                    cb = 0.5 * (
-                        cb + eps_c + jnp.sqrt((cb - eps_c) ** 2 + 1e-6)
-                    )
-                else:
-                    cb = jnp.maximum(cb, eps_c)
-                # plain Newton diverges from far-off iterates (the DME
-                # kinetics' reverse rates explode away from equilibrium), so
-                # pseudo-transient continuation first: the solid residual IS
-                # the dynamic particle RHS, integrate it to its attractor,
-                # then polish with damped Newton -- same recipe as T3/M14
-                res = lambda yn: node_res(
-                    yn.reshape(n_layer, r_no), cb, tb, pp, d
-                ).reshape(-1)
-                ysn, _ = radau.odeint(
-                    lambda t, yn: res(yn), y_node.reshape(-1),
-                    jnp.asarray([0.0, 1.0], y_node.dtype),
-                    rtol=1e-6, atol=1e-9, max_steps=4000,
-                )
-                sol = newton.root(res, ysn[-1], max_iter=40, tol=1e-9)
-                return sol.x.reshape(n_layer, r_no), sol.converged
-
-            def interval(carry, tpair):
-                y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, nunr = carry
-                ys, stats = radau.odeint(
-                    lambda t, y: gas_rhs(t, y, pp, d, cs_surf, ts_surf),
-                    y_gas, tpair, rtol=opts["rtol"], atol=opts["atol"],
-                )
-                y_gas = ys[-1]
-                y_solid, conv = jax.vmap(
-                    solve_node, in_axes=(2, 1, 0), out_axes=(2, 0)
-                )(y_solid, c_bulk, t_bulk)
-                cs_surf = y_solid[:n_comp, 0, :]
-                ts_surf = y_solid[n_comp, 0, :]
-                Yg = y_gas.reshape(n_layer, z_no)
-                c_bulk, t_bulk = Yg[:n_comp], Yg[n_comp]
-                nunr = nunr + stats.n_unreached
-                carry = (y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, nunr)
-                return carry, (y_gas, y_solid, jnp.all(conv),
-                               stats.n_unreached)
-
-            zero = jnp.asarray(0, jnp.int32)
-            carry, (gas_t, solid_t, conv_t, unr_t) = jax.lax.scan(
-                interval,
-                (y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, zero),
-                jnp.stack([ts_grid[:-1], ts_grid[1:]], axis=1),
-            )
-            return gas_t, solid_t, conv_t, unr_t, ts_grid
-
-        runner = jax.jit(run)
+        # the driver (incl. the flux-sign/clamp salvages) lives in
+        # models.hetero_dyn.make_m13_driver so design sweeps can vmap the
+        # same function (parallel.run_m13_sweep)
+        runner = jax.jit(hetero_dyn.make_m13_driver(
+            spec, mesh=mesh, rtol=opts["rtol"], atol=opts["atol"]
+        ))
         _jit_cache[key] = runner
 
     start = timer()

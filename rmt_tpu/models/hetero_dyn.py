@@ -1099,3 +1099,107 @@ def make_m13_solid_residual(spec: M13Spec):
         )
 
     return residual
+
+
+def make_m13_driver(spec: M13Spec, mesh=None, rtol=1e-5, atol=1e-7):
+    """Operator-splitting M13 driver as ONE pure jitted/vmappable function
+    (reference time loop pbHeterReactor.py:995-1148). Per interval: gas MoL
+    phase under Radau with the previous interval's solid-surface values,
+    then the per-node particle BVP by PTC + damped Newton with the previous
+    interval's gas bulk values (the reference's staggered exchange order).
+
+    Driver-level salvages (each documented at its source):
+      * interphase-flux sign corrected to the sister model's
+        (pbReactor.modelEquationM7:5268) -- the reference's sign is
+        linearly unstable (make_m13_gas_rhs docstring);
+      * gas state carried across intervals (the reference re-seeds a dead
+        variable, pbHeterReactor.py:1148);
+      * refined meshes use the smooth C^1 EPS clamp in both phases (hard
+        clamp breaks the stage Newton / stalls the particle solve on the
+        singular LHHW regime -- see _run_m13 history in STATUS.md).
+
+    Returns run(p) -> (gas_t, solid_t, conv_t, unr_t, ts_grid):
+    gas_t (tNo, n_layer*zNo), solid_t (tNo, n_layer, rNo, zNo),
+    conv_t/unr_t per-interval solid-Newton and gas-budget flags. Pure in
+    p, so design sweeps are jax.vmap(run) (parallel.run_m13_sweep).
+    """
+    from ..solvers import newton, radau
+
+    gas_rhs = make_m13_gas_rhs(
+        spec, flux_sign=-1.0, mesh=mesh,
+        clamp_width=1e-3 if mesh is not None else 0.0,
+    )
+    node_res = make_m13_solid_node_residual(spec)
+    n_comp, n_layer, r_no, z_no = (
+        spec.n_comp, spec.n_layer, spec.r_no, spec.z_no
+    )
+
+    def run(pp):
+        d = m13_feed(spec, pp)
+        y_gas = m13_gas_initial_state(spec, pp)
+        y_solid = m13_solid_initial_state(spec, pp)
+        # initial interface = solid IV surface row; initial bulk = gas IV
+        cs_surf = y_solid[:n_comp, 0, :]
+        ts_surf = y_solid[n_comp, 0, :]
+        g0 = y_gas.reshape(n_layer, z_no)
+        c_bulk, t_bulk = g0[:n_comp], g0[n_comp]
+        ts_grid = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(
+            y_gas.dtype
+        )
+
+        def solve_node(y_node, cb, tb):
+            # clamp the gas bulk before it enters the particle Robin BC:
+            # a negative bulk (refined-mesh inlet Gibbs undershoot) drives
+            # the particle Newton into unphysical states; the reference
+            # clamps every state with max(EPS) before use
+            # (pbHeterReactor.py:1575,1791). Refined meshes use the smooth
+            # clamp (hard 1e-30 pinning stalls the particle solve on the
+            # singular LHHW reverse-rate regime).
+            if mesh is not None:
+                cb = 0.5 * (
+                    cb + EPS_CONST + jnp.sqrt((cb - EPS_CONST) ** 2 + 1e-6)
+                )
+            else:
+                cb = jnp.maximum(cb, EPS_CONST)
+            # plain Newton diverges from far-off iterates (the LHHW
+            # reverse rates explode away from equilibrium): pseudo-
+            # transient continuation to the attractor, then damped-Newton
+            # polish -- same recipe as T3/M14
+            res = lambda yn: node_res(
+                yn.reshape(n_layer, r_no), cb, tb, pp, d
+            ).reshape(-1)
+            ysn, _ = radau.odeint(
+                lambda t, yn: res(yn), y_node.reshape(-1),
+                jnp.asarray([0.0, 1.0], y_node.dtype),
+                rtol=1e-6, atol=1e-9, max_steps=4000,
+            )
+            sol = newton.root(res, ysn[-1], max_iter=40, tol=1e-9)
+            return sol.x.reshape(n_layer, r_no), sol.converged
+
+        def interval(carry, tpair):
+            y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, nunr = carry
+            ys, stats = radau.odeint(
+                lambda t, y: gas_rhs(t, y, pp, d, cs_surf, ts_surf),
+                y_gas, tpair, rtol=rtol, atol=atol,
+            )
+            y_gas = ys[-1]
+            y_solid, conv = jax.vmap(
+                solve_node, in_axes=(2, 1, 0), out_axes=(2, 0)
+            )(y_solid, c_bulk, t_bulk)
+            cs_surf = y_solid[:n_comp, 0, :]
+            ts_surf = y_solid[n_comp, 0, :]
+            Yg = y_gas.reshape(n_layer, z_no)
+            c_bulk, t_bulk = Yg[:n_comp], Yg[n_comp]
+            nunr = nunr + stats.n_unreached
+            carry = (y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, nunr)
+            return carry, (y_gas, y_solid, jnp.all(conv), stats.n_unreached)
+
+        zero = jnp.asarray(0, jnp.int32)
+        carry, (gas_t, solid_t, conv_t, unr_t) = jax.lax.scan(
+            interval,
+            (y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk, zero),
+            jnp.stack([ts_grid[:-1], ts_grid[1:]], axis=1),
+        )
+        return gas_t, solid_t, conv_t, unr_t, ts_grid
+
+    return run

@@ -4,6 +4,7 @@ from .ensemble import (
     make_n1_ensemble,
     make_n2_ensemble,
     run_m11_sweep,
+    run_m13_sweep,
     run_m14_sweep,
     run_n2_ensemble,
     run_n2_ensemble_lockstep,

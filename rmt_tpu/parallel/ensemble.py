@@ -282,6 +282,65 @@ def run_m11_sweep(
     return fn(params)
 
 
+def run_m13_sweep(
+    model_input: Mapping[str, Any],
+    sweep: Mapping[str, Any],
+    rtol: float = 1e-5,
+    atol: float = 1e-7,
+    mesh: Mesh | None = None,
+):
+    """Ensemble sweep of the M13 operator-splitting heterogeneous reactor.
+
+    The whole split driver -- per interval a gas MoL Radau solve, then
+    zNo particle BVPs by PTC + damped Newton, with the reference's
+    staggered interface exchange -- is one pure function of the parameter
+    pytree (models.hetero_dyn.make_m13_driver), so a design sweep is one
+    jax.vmap'd jitted program; the dp mesh shards members across chips.
+    The reference's only equivalent is a Python loop of rmtExe calls,
+    each running scipy solve_ivp + fsolve per interval
+    (pbHeterReactor.py:995-1148).
+
+    Returns a dict: gas (B, tNo, noLayer, zNo) dimensionless gas profiles
+    per interval, solid (B, tNo, noLayer, rNo, zNo), converged (B,) bool
+    (solid Newton at every interval), unreached (B,) int (gas budget
+    misses), ts (tNo+1,) shared output grid.
+    """
+    from ..models import hetero_dyn
+    from ..ops import stencils as _st
+
+    sc = model_input.get("solver-config", {})
+    if sc.get("mesh", "normal") != "normal":
+        zmesh = _st.two_zone_mesh((15, 10), 1.0, 30, 1.001)
+        z_no = int(zmesh["n_nodes"])
+    else:
+        zmesh = None
+        z_no = int(sc.get("zNo", 10))
+    spec = hetero_dyn.m13_build_spec(
+        model_input,
+        z_no=z_no,
+        r_no=int(sc.get("rNo", 7)),
+        t_no=int(sc.get("tNo", 5)),
+    )
+    base = hetero_dyn.m13_params(model_input)
+    if "opT" in sweep:
+        raise ValueError("the M13 sweep requires a shared period")
+    params, axes = batch_params(base, sweep)
+    if mesh is not None:
+        params = shard_batch(mesh, params, axes)
+
+    run = hetero_dyn.make_m13_driver(spec, mesh=zmesh, rtol=rtol, atol=atol)
+    fn = jax.jit(jax.vmap(run, in_axes=(axes,)))
+    gas_t, solid_t, conv_t, unr_t, ts_grid = fn(params)
+    b = gas_t.shape[0]
+    return {
+        "gas": gas_t.reshape(b, spec.t_no, spec.n_layer, spec.z_no),
+        "solid": solid_t,
+        "converged": jnp.all(conv_t, axis=1),
+        "unreached": jnp.sum(unr_t, axis=1),
+        "ts": ts_grid[0] if ts_grid.ndim == 2 else ts_grid,
+    }
+
+
 def run_m14_sweep(
     model_input: Mapping[str, Any],
     sweep: Mapping[str, Any],

@@ -252,3 +252,31 @@ def test_lockstep_early_exit_skips_budget_chunks():
     ys, stats = run_n2_ensemble_lockstep(mi, sweep, max_steps=4096)
     assert int(jnp.max(stats.seg)) == ys.shape[0] - 1
     assert int(stats.n_jev) < 100, int(stats.n_jev)
+
+
+def test_m13_sweep_vmapped():
+    """Operator-splitting ensemble: the whole M13 split driver (gas Radau
+    + per-node particle Newton + staggered exchange) vmapped over a
+    design sweep; member 0 must match the single-run rmtExe M13 gas
+    trajectory, and a hotter member must differ."""
+    from test_m13 import _m13_model_input
+
+    from rmt_tpu import rmtExe
+    from rmt_tpu.parallel import run_m13_sweep
+
+    mi = _m13_model_input()
+    mi["solver-config"] = dict(
+        mi.get("solver-config", {}), zNo=5, rNo=4, tNo=3
+    )
+    T0 = float(mi["operating-conditions"]["temperature"])
+    out = run_m13_sweep(mi, {"T0": jnp.asarray([T0, T0 + 8.0])})
+    assert bool(jnp.all(out["converged"])), np.asarray(out["converged"])
+    assert int(jnp.sum(out["unreached"])) == 0
+
+    single = rmtExe(dict(mi))["resModel"]["dataPack"]
+    gas0_last = np.asarray(out["gas"][0, -1])           # (noLayer, zNo)
+    np.testing.assert_allclose(
+        gas0_last[:-1], np.asarray(single[-1]["dataYCon"]),
+        rtol=2e-5, atol=1e-9,
+    )
+    assert float(jnp.max(jnp.abs(out["gas"][1] - out["gas"][0]))) > 1e-4
