@@ -69,7 +69,14 @@ def measure_reference_seconds(model_input_factory):
 
 
 def run_child(b, n_chunks):
-    """Time B = n_chunks * b members in this process; print one JSON line."""
+    """Time B = n_chunks * b members in this process; print one JSON line.
+
+    Microbatches of size b run as a lax.scan INSIDE one compiled call
+    (run_n2_ensemble_lockstep(microbatch=b)): the tunneled runtime
+    charges a large FIXED cost per executable invocation (~17.5 s
+    measured at B=512, vs ~4.4 ms marginal per integrator attempt), so
+    one call amortizes what per-microbatch calls would pay n_chunks
+    times. HBM holds one microbatch's integrator state at a time."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -80,7 +87,7 @@ def run_child(b, n_chunks):
     mi = make_model_input(model="N2")
 
     def run_once(t0_offsets):
-        sweep = {"T0": jnp.asarray(523.0 + t0_offsets)}
+        sweep = {"T0": jnp.asarray(523.0 + t0_offsets.reshape(-1))}
         ys, stats = run_n2_ensemble_lockstep(
             # newton_iters=5 (f32): with the collocation-extrapolation
             # stage predictor, 5 simplified-Newton sweeps suffice (A/B
@@ -89,22 +96,23 @@ def run_child(b, n_chunks):
             # Newton tolerance is proportionally tighter and only f32
             # was A/B-measured at 5.
             mi, sweep, max_steps=768, rtol=RTOL, atol=ATOL,
-            newton_iters=6 if X64 else 5
+            newton_iters=6 if X64 else 5,
+            microbatch=b if n_chunks > 1 else None,
         )
         np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
         return ys, stats
 
-    offsets = np.linspace(-5.0, 5.0, n_chunks * b).reshape(n_chunks, b)
-    run_once(offsets[0])  # compile
+    offsets = np.linspace(-5.0, 5.0, n_chunks * b)
+    run_once(offsets)  # compile
     t0 = time.perf_counter()
-    for ci in range(n_chunks):
-        ys, stats = run_once(offsets[ci])
+    ys, stats = run_once(offsets)
     t_ens = time.perf_counter() - t0
     assert bool(jnp.all(jnp.isfinite(ys[-1])))
     assert int(jnp.min(stats.n_accepted)) > 0
     n_out = ys.shape[0]
     unfinished = int(jnp.sum(stats.seg < n_out - 1))
-    assert unfinished == 0, f"{unfinished}/{b} members exhausted the budget"
+    assert unfinished == 0, \
+        f"{unfinished}/{b * n_chunks} members exhausted the budget"
     print(json.dumps({"b": b, "n_chunks": n_chunks, "t_ens": t_ens}))
 
 

@@ -133,6 +133,7 @@ def run_n2_ensemble_lockstep(
     atol: float = 1e-10,
     mesh: Mesh | None = None,
     colored_jacobian: bool = True,
+    microbatch: int | None = None,
     **solver_kwargs,
 ):
     """N2 dynamic ensemble on the TPU-native lockstep integrator.
@@ -142,6 +143,17 @@ def run_n2_ensemble_lockstep(
     control. The operating period may not be swept (the output grid is
     shared across members).
 
+    microbatch=K splits the ensemble into B/K sequential microbatches
+    INSIDE one compiled call (lax.scan over reshaped sweep leaves). Two
+    reasons to use it: (a) only one microbatch's integrator state is live
+    at a time, so ensembles beyond the single-batch HBM ceiling run in one
+    program; (b) the tunneled runtime charges a large FIXED cost per
+    executable invocation (measured ~17.5 s at B=512 regardless of the
+    attempt budget -- the marginal attempt costs ~4.4 ms), so one call
+    with an internal scan amortizes what per-microbatch calls would pay
+    B/K times. Incompatible with `mesh` (shard members across chips
+    instead of microbatching).
+
     Returns (ys, stats): ys (tNo+1, B, varNo*zNo) dimensionless states.
     """
     spec = homo.build_spec(model_input)
@@ -149,8 +161,6 @@ def run_n2_ensemble_lockstep(
     if "opT" in sweep:
         raise ValueError("the lockstep integrator requires a shared period")
     params, axes = batch_params(base, sweep)
-    if mesh is not None:
-        params = shard_batch(mesh, params, axes)
 
     rhs = homo.make_n2_rhs(spec)
     jac_c = homo.make_n2_colored_jacobian(spec) if colored_jacobian else None
@@ -179,6 +189,63 @@ def run_n2_ensemble_lockstep(
             jac=jac_batched, batched=True, **solver_kwargs,
         )
 
+    b_total = next(
+        jnp.asarray(v).shape[0] for k, v in sweep.items()
+    ) if sweep else None
+    if microbatch is not None and b_total and b_total > microbatch:
+        if mesh is not None:
+            raise ValueError("microbatch and mesh are mutually exclusive")
+        if b_total % microbatch:
+            raise ValueError(
+                f"ensemble size {b_total} must be a multiple of "
+                f"microbatch {microbatch}"
+            )
+        k = b_total // microbatch
+
+        # scan xs must all carry the leading k axis: reshape the swept
+        # leaves into (k, microbatch, ...) and close over the rest
+        xs, const = {}, {}
+        for key, val in params.items():
+            if key == "kinetic_overrides":
+                xs[key] = {
+                    kk: vv.reshape((k, microbatch) + vv.shape[1:])
+                    for kk, vv in val.items() if axes[key][kk] == 0
+                }
+                const[key] = {
+                    kk: vv for kk, vv in val.items() if axes[key][kk] != 0
+                }
+            elif axes[key] == 0:
+                xs[key] = val.reshape((k, microbatch) + val.shape[1:])
+            else:
+                const[key] = val
+
+        def scan_microbatches(xs, const):
+            def body(_, x):
+                pk = dict(const, **{
+                    key: v for key, v in x.items()
+                    if key != "kinetic_overrides"
+                })
+                pk["kinetic_overrides"] = dict(
+                    const["kinetic_overrides"],
+                    **x.get("kinetic_overrides", {}),
+                )
+                return None, run(pk)
+
+            _, (ys_k, stats_k) = jax.lax.scan(body, None, xs)
+            # (k, n_out, Bm, n) -> (n_out, k*Bm, n)
+            ys = jnp.moveaxis(ys_k, 0, 1).reshape(
+                ys_k.shape[1], k * microbatch, -1
+            )
+            stats = stiff_ensemble.EnsembleStats(*[
+                (v.reshape(-1) if v.ndim == 2 else jnp.sum(v))
+                for v in stats_k
+            ])
+            return ys, stats
+
+        return jax.jit(scan_microbatches)(xs, const)
+
+    if mesh is not None:
+        params = shard_batch(mesh, params, axes)
     return jax.jit(run)(params)
 
 

@@ -280,3 +280,18 @@ def test_m13_sweep_vmapped():
         rtol=2e-5, atol=1e-9,
     )
     assert float(jnp.max(jnp.abs(out["gas"][1] - out["gas"][0]))) > 1e-4
+
+
+def test_lockstep_microbatch_matches_single_batch():
+    """microbatch=K runs the ensemble as a lax.scan of K-member batches
+    inside one compiled call (amortizes the tunneled runtime's fixed
+    per-invocation cost); results and per-member stats must be identical
+    to the single-batch run."""
+    mi = make_model_input(model="N2")
+    sweep = {"T0": jnp.asarray(523.0 + np.linspace(-4.0, 4.0, 8))}
+    kw = dict(max_steps=768, rtol=1e-5, atol=1e-7, newton_iters=5)
+    ys_a, st_a = run_n2_ensemble_lockstep(mi, sweep, **kw)
+    ys_b, st_b = run_n2_ensemble_lockstep(mi, sweep, microbatch=4, **kw)
+    np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_b))
+    assert bool(jnp.all(st_a.n_accepted == st_b.n_accepted))
+    assert bool(jnp.all(st_a.seg == st_b.seg))
