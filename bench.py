@@ -76,7 +76,13 @@ def run_child(b, n_chunks):
     charges a large FIXED cost per executable invocation (~17.5 s
     measured at B=512, vs ~4.4 ms marginal per integrator attempt), so
     one call amortizes what per-microbatch calls would pay n_chunks
-    times. HBM holds one microbatch's integrator state at a time."""
+    times. HBM holds one microbatch's integrator state at a time.
+
+    The runtime also KILLS long-running invocations (measured: f64
+    4x256 at 156 s/call completes; 8x512 and 16x256 -- several hundred
+    seconds in one program -- crash the worker), so at most
+    RMT_BENCH_CALL_CHUNKS microbatches (default 4) run per call and the
+    remainder loops over calls."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -85,8 +91,10 @@ def run_child(b, n_chunks):
     from rmt_tpu.parallel import run_n2_ensemble_lockstep
 
     mi = make_model_input(model="N2")
+    k_call = max(int(os.environ.get("RMT_BENCH_CALL_CHUNKS", "4")), 1)
 
     def run_once(t0_offsets):
+        chunks_here = t0_offsets.size // b
         sweep = {"T0": jnp.asarray(523.0 + t0_offsets.reshape(-1))}
         ys, stats = run_n2_ensemble_lockstep(
             # newton_iters=5 (f32): with the collocation-extrapolation
@@ -97,22 +105,25 @@ def run_child(b, n_chunks):
             # was A/B-measured at 5.
             mi, sweep, max_steps=768, rtol=RTOL, atol=ATOL,
             newton_iters=6 if X64 else 5,
-            microbatch=b if n_chunks > 1 else None,
+            microbatch=b if chunks_here > 1 else None,
         )
         np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
         return ys, stats
 
-    offsets = np.linspace(-5.0, 5.0, n_chunks * b)
-    run_once(offsets)  # compile
+    offsets = np.linspace(-5.0, 5.0, n_chunks * b).reshape(n_chunks, b)
+    calls = [offsets[i:i + k_call] for i in range(0, n_chunks, k_call)]
+    run_once(calls[0])  # compile (full-size first call; later shapes reuse
+    # the cache only if equal -- keep every call k_call chunks when possible)
     t0 = time.perf_counter()
-    ys, stats = run_once(offsets)
+    outs = [run_once(group) for group in calls]
     t_ens = time.perf_counter() - t0
-    assert bool(jnp.all(jnp.isfinite(ys[-1])))
-    assert int(jnp.min(stats.n_accepted)) > 0
-    n_out = ys.shape[0]
-    unfinished = int(jnp.sum(stats.seg < n_out - 1))
+    unfinished = 0
+    for ys, stats in outs:
+        assert bool(jnp.all(jnp.isfinite(ys[-1])))
+        assert int(jnp.min(stats.n_accepted)) > 0
+        unfinished += int(jnp.sum(stats.seg < ys.shape[0] - 1))
     assert unfinished == 0, \
-        f"{unfinished}/{b * n_chunks} members exhausted the budget"
+        f"{unfinished}/{n_chunks * b} members exhausted the budget"
     print(json.dumps({"b": b, "n_chunks": n_chunks, "t_ens": t_ens}))
 
 
@@ -131,12 +142,20 @@ def main():
     # 58.6 at 2x2048); the walk-down still covers regressions -- an
     # over-HBM batch crashes the worker and the next candidate runs in a
     # fresh subprocess after the recovery pause.
-    CHUNK_MAX = int(os.environ.get("RMT_BENCH_CHUNK", "4096"))
-    candidates = [min(B, CHUNK_MAX), 2048, 1024, 256, 64]
+    # f32: B=4096 fits as ONE device-resident batch (the Pallas NS kernel
+    # freed the stacked XLA intermediates). f64: the integrator state is
+    # 2x and the x64 scan-of-pallas path kernel-faults at microbatch 512
+    # (measured); 256 is the verified ceiling.
+    CHUNK_MAX = int(os.environ.get("RMT_BENCH_CHUNK", "256" if X64 else "4096"))
+    # walk-down must be strictly decreasing: a crashed candidate means
+    # over-HBM (or a runtime fault) and larger chunks can only be worse
+    candidates = sorted(
+        {c for c in (min(B, CHUNK_MAX), 2048, 1024, 256, 64)
+         if c <= min(B, CHUNK_MAX)},
+        reverse=True,
+    )
     result = None
     for i, b in enumerate(candidates):
-        if b > B:
-            continue
         n_chunks = max(B // b, 1)
         env = dict(os.environ, RMT_BENCH_CHILD=f"{b},{n_chunks}")
         try:
