@@ -134,9 +134,17 @@ def run_n2_ensemble_lockstep(
     mesh: Mesh | None = None,
     colored_jacobian: bool = True,
     microbatch: int | None = None,
+    exact_solve: bool = False,
     **solver_kwargs,
 ):
     """N2 dynamic ensemble on the TPU-native lockstep integrator.
+
+    exact_solve=True solves the Radau stage systems EXACTLY via the MoL
+    Jacobian's block-bidiagonal structure (ops.block_solve: batched
+    (varNo x varNo) inversions + an associative scan over z) instead of
+    Newton-Schulz approximate inverses -- ~2000x fewer solve flops and
+    no preconditioner state. Requires colored_jacobian=True (the same
+    structural assumption).
 
     One global adaptive loop for the whole batch: matmul-only Newton-Schulz
     preconditioners, colored (block-bidiagonal) Jacobians, per-member step
@@ -164,6 +172,10 @@ def run_n2_ensemble_lockstep(
 
     rhs = homo.make_n2_rhs(spec)
     jac_c = homo.make_n2_colored_jacobian(spec) if colored_jacobian else None
+    if exact_solve:
+        if not colored_jacobian:
+            raise ValueError("exact_solve requires colored_jacobian=True")
+        solver_kwargs.setdefault("block", (spec.var_no_n2, spec.z_no))
 
     def run(params):
         def derive(q):

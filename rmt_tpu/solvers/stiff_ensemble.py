@@ -107,7 +107,10 @@ def _cmatmul(ar, ai, br, bi):
     return _mm(ar, br) - _mm(ai, bi), _mm(ar, bi) + _mm(ai, br)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16))
+@partial(
+    jax.jit,
+    static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18),
+)
 def odeint_ensemble(
     f,
     y0,                     # (B, n)
@@ -126,6 +129,8 @@ def odeint_ensemble(
     use_pallas: bool | None = None,
     predict_stages: bool = True,
     newton_h_barrier: bool = False,
+    block=None,
+    max_factor: float | None = None,
 ):
     """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
 
@@ -139,6 +144,15 @@ def odeint_ensemble(
     transcendentals are only ~f32 accurate (measured 4e-8 relative), so
     Newton increments plateau at noise*|K|/scale instead of reaching the
     nominal tolerance. Defaults per backend.
+
+    block=(var_no, z_no): the Jacobian is block lower bidiagonal in the
+    node index (flat state index v*z_no + z, the MoL layout of
+    ops.jacobian.banded_coloring). The stage systems are then solved
+    EXACTLY by batched small-block elimination + an associative scan
+    (ops.block_solve) instead of maintaining Newton-Schulz approximate
+    inverses -- ~m^2*z vs n^2 work per solve (m = var_no, n = m*z), no
+    residual certificates, and no preconditioner state. ns_refresh /
+    ns_step / use_pallas are ignored in this mode.
     Returns (ys, stats) with ys of shape (n_out, B, n); ys[0] == y0.
     """
     if args is not None:
@@ -157,6 +171,12 @@ def odeint_ensemble(
             rhs_noise = 4e-8        # TPU-emulated f64 transcendentals
         else:
             rhs_noise = 1e-14
+    # step-growth cap: the NS warm start needs small h drift (1.4x); the
+    # exact block solves refactor at every attempt, so they tolerate the
+    # larger growth a fresh transient wants (value A/B'd on the N2 case)
+    _max_fac = float(max_factor) if max_factor is not None else (
+        3.0 if block is not None else _MAX_FACTOR
+    )
     ts = jnp.asarray(ts, dtype)
     rtol = jnp.asarray(rtol, dtype)
     atol = jnp.asarray(atol, dtype)
@@ -399,6 +419,44 @@ def odeint_ensemble(
     def norm_b(v, scale):
         return jnp.sqrt(jnp.mean((v / scale) ** 2, axis=-1))
 
+    if block is not None:
+        from ..ops import block_solve as _bs
+
+        var_no_b, z_no_b = block
+        if var_no_b * z_no_b != n:
+            raise ValueError(
+                f"block {block} does not tile the state size {n}"
+            )
+
+        def to_blocks(x):       # (B, n) flat v*z -> (B, z, m)
+            return x.reshape(Bsz, var_no_b, z_no_b).transpose(0, 2, 1)
+
+        def from_blocks(xb):    # (B, z, m) -> (B, n)
+            return xb.transpose(0, 2, 1).reshape(Bsz, n)
+
+        def make_block_solvers(h_eff, Jd, Jl):
+            return _bs.make_shifted_solvers(
+                Jd, Jl, h_eff, gamma, mu_r, mu_i
+            )
+
+        def apply_block(R, solve_real, solve_cplx):
+            """Exact stage solve M dK = R via the eigen-transform, the
+            block-solver twin of apply_P."""
+            Wr = jnp.einsum("ij,bjn->bin", Tir, R)
+            Wi = jnp.einsum("ij,bjn->bin", Tii, R)
+            z0 = from_blocks(solve_real(to_blocks(Wr[:, 0].astype(f32))))
+            z1r, z1i = solve_cplx(
+                to_blocks(Wr[:, 1].astype(f32)),
+                to_blocks(Wi[:, 1].astype(f32)),
+            )
+            Z1r, Z1i = from_blocks(z1r), from_blocks(z1i)
+            Zr = jnp.stack([z0, Z1r, Z1r], axis=1).astype(dtype)
+            Zi = jnp.stack(
+                [jnp.zeros_like(z0), Z1i, -Z1i], axis=1
+            ).astype(dtype)
+            return (jnp.einsum("ij,bjn->bin", Tr, Zr)
+                    - jnp.einsum("ij,bjn->bin", Ti, Zi))
+
     # Control-flow note (measured on the axon-tunneled TPU): while_loop
     # iterations cost ~1s each (apparent per-iteration host sync of the
     # carry), while the identical body under lax.scan costs ~10ms. The
@@ -418,8 +476,16 @@ def odeint_ensemble(
         h_eff = jnp.maximum(h_eff, 1e-300)
         J64 = J.astype(dtype)
 
-        # warm preconditioner maintenance every attempt (h drift <= 1.4x)
-        Pr, Pcr, Pci, rho = ns_update(Pr, Pcr, Pci, h_eff, J, ns_step)
+        if block is not None:
+            # exact block solvers rebuilt from (Jd, Jl) at the CURRENT h:
+            # factorization is z_no batched (m x m) inversions -- cheap
+            # enough to do every attempt, so no warm-start state exists.
+            # (Pr, Pcr) carry (Jd, Jl); Pci is an unused placeholder.
+            solve_real, solve_cplx = make_block_solvers(h_eff, Pr, Pcr)
+            rho = jnp.zeros((Bsz,), f32)
+        else:
+            # warm preconditioner maintenance every attempt (h drift <= 1.4x)
+            Pr, Pcr, Pci, rho = ns_update(Pr, Pcr, Pci, h_eff, J, ns_step)
 
         scale = atol + rtol * jnp.abs(y)
 
@@ -458,7 +524,10 @@ def odeint_ensemble(
                 jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
             )
             rn_new = jnp.where(jnp.isfinite(rn_new), rn_new, jnp.inf)
-            dK = solve(R, h_eff, J64, Pr, Pcr, Pci)
+            if block is not None:
+                dK = apply_block(R, solve_real, solve_cplx)
+            else:
+                dK = solve(R, h_eff, J64, Pr, Pcr, Pci)
             K_new = K + jnp.where(done[:, None, None], 0.0, dK)
             # convergence measured on the stage-value increment h*dK
             dn_new = norm_b(
@@ -490,18 +559,24 @@ def odeint_ensemble(
 
         y1 = y + h_eff[:, None] * jnp.einsum("j,bjn->bn", Bv, K)
 
-        # embedded error estimate smoothed by the real preconditioner (f32)
+        # embedded error estimate smoothed by (I - h*gamma*J)^-1 (f32)
         err_raw = h_eff[:, None] * (
             jnp.einsum("j,bjn->bn", Bv - BHAT[1:], K) - BHAT[0] * f0
         )
         e32 = err_raw.astype(f32)
-        err_s32 = jnp.einsum("bnm,bm->bn", Pr, e32, precision=_HI)
-        r_e = e32 - (err_s32 - (gamma * h_eff.astype(f32))[:, None] * jnp.einsum(
-            "bnm,bm->bn", J, err_s32, precision=_HI
-        ))
-        err_s = (err_s32 + jnp.einsum(
-            "bnm,bm->bn", Pr, r_e, precision=_HI
-        )).astype(dtype)
+        if block is not None:
+            err_s = from_blocks(solve_real(to_blocks(e32))).astype(dtype)
+        else:
+            err_s32 = jnp.einsum("bnm,bm->bn", Pr, e32, precision=_HI)
+            r_e = e32 - (
+                err_s32
+                - (gamma * h_eff.astype(f32))[:, None] * jnp.einsum(
+                    "bnm,bm->bn", J, err_s32, precision=_HI
+                )
+            )
+            err_s = (err_s32 + jnp.einsum(
+                "bnm,bm->bn", Pr, r_e, precision=_HI
+            )).astype(dtype)
 
         scale2 = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
         err_norm = norm_b(err_s, scale2)
@@ -510,7 +585,7 @@ def odeint_ensemble(
 
         accept = (err_norm <= 1.0) & active
         err_c = jnp.clip(err_norm, 1e-10, 1e10)
-        factor = jnp.clip(_SAFETY * err_c**_ORDER_EXP, _MIN_FACTOR, _MAX_FACTOR)
+        factor = jnp.clip(_SAFETY * err_c**_ORDER_EXP, _MIN_FACTOR, _max_fac)
         factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
         factor = jnp.where(conv, factor, 0.5)
         clamped = h_eff < h
@@ -590,6 +665,15 @@ def odeint_ensemble(
         hbar = jnp.full_like(hbar, jnp.inf)
         # refresh the Jacobian once per chunk; h grows <= 1.4^16 within it
         J = jacB(t, y).astype(f32)
+        if block is not None:
+            # block mode: carry the fresh (Jd, Jl) blocks; solvers are
+            # rebuilt exactly from them at each attempt's h
+            Jd, Jl = _bs.extract_bidiag_blocks(J, var_no_b, z_no_b)
+            st = st._replace(n_jev=st.n_jev + 1)
+            state = (t, y, yc, fval, h, J, Jd, Jl, Pci, seg, out, st,
+                     Kp, hp, pv, hbar)
+            state, _ = lax.scan(attempt, state, None, length=chunk)
+            return state
         # reset any non-finite preconditioner to the safe cold seed
         Pr0c, Pcr0c, Pci0c = ns_cold_start(h, J)
         bad = ~jnp.all(
@@ -652,7 +736,14 @@ def odeint_ensemble(
     j_norm = jnp.max(jnp.sum(jnp.abs(J0), axis=-1), axis=-1).astype(dtype)  # (B,)
     span = ts[-1] - ts[0]
     h0 = jnp.minimum(0.05 / (abs(gamma) * j_norm + 1e-30), 1e-3 * span)
-    eyeB = jnp.tile(jnp.eye(n, dtype=f32)[None], (Bsz, 1, 1))
+    if block is not None:
+        # block mode carries (Jd, Jl) in the Pr/Pcr slots and a tiny
+        # placeholder where the NS mode keeps Pci
+        Jd0, Jl0 = _bs.extract_bidiag_blocks(J0, var_no_b, z_no_b)
+        P1_0, P2_0, P3_0 = Jd0, Jl0, jnp.zeros((Bsz, 1, 1), f32)
+    else:
+        eyeB = jnp.tile(jnp.eye(n, dtype=f32)[None], (Bsz, 1, 1))
+        P1_0, P2_0, P3_0 = eyeB, eyeB, jnp.zeros_like(eyeB)
 
     zero_b = jnp.zeros(Bsz, jnp.int32)
     stats0 = EnsembleStats(zero_b + 1, jnp.asarray(1, jnp.int32), zero_b, zero_b,
@@ -665,9 +756,9 @@ def odeint_ensemble(
         f0,
         h0,
         J0,
-        eyeB,
-        eyeB,
-        jnp.zeros_like(eyeB),
+        P1_0,
+        P2_0,
+        P3_0,
         zero_b,
         out0,
         stats0,

@@ -295,3 +295,23 @@ def test_lockstep_microbatch_matches_single_batch():
     np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_b))
     assert bool(jnp.all(st_a.n_accepted == st_b.n_accepted))
     assert bool(jnp.all(st_a.seg == st_b.seg))
+
+
+def test_lockstep_exact_block_solve_mode():
+    """exact_solve=True replaces the Newton-Schulz preconditioners with
+    exact block-bidiagonal stage solves (ops.block_solve); the integrated
+    trajectories must agree with the NS mode within the step-control
+    tolerance and finish in no more attempts."""
+    mi = make_model_input(model="N2")
+    sweep = {"T0": jnp.asarray([523.0, 528.0])}
+    kw = dict(max_steps=768, rtol=1e-5, atol=1e-7, newton_iters=5)
+    ys_ns, st_ns = run_n2_ensemble_lockstep(mi, sweep, **kw)
+    ys_bl, st_bl = run_n2_ensemble_lockstep(mi, sweep, exact_solve=True, **kw)
+    assert int(jnp.max(st_bl.seg)) == ys_bl.shape[0] - 1
+    rel = jnp.max(
+        jnp.abs(ys_bl - ys_ns) / jnp.maximum(jnp.abs(ys_ns), 1e-7)
+    )
+    assert float(rel) < 5e-4, float(rel)
+    assert int(jnp.max(st_bl.n_accepted + st_bl.n_rejected)) <= int(
+        jnp.max(st_ns.n_accepted + st_ns.n_rejected)
+    )
