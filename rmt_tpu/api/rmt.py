@@ -626,10 +626,14 @@ def _run_m2(model_input, opts, model_id="M2"):
             # the reference integrates each interval with a fresh LSODA
             # budget (pbReactor.py per-interval re-seed), so a fixed
             # whole-run budget starves long operating periods
+            # exact block-bidiagonal stage solves: at B=1 with
+            # n = (compNo+1)*zNo = 700+ the dense Newton-Schulz
+            # preconditioners are pure overhead (ops/block_solve)
             ys, stats = stiff_ensemble.odeint_ensemble(
                 fB, y0, ts, rtol=opts["rtol"], atol=opts["atol"],
                 jac=jB, batched=True,
                 max_steps=max(1024, 256 * spec.t_no),
+                block=(spec.n_comp + 1, spec.z_no),
             )
             return ys[:, 0, :], ts, stats
 
