@@ -315,3 +315,26 @@ def test_lockstep_exact_block_solve_mode():
     assert int(jnp.max(st_bl.n_accepted + st_bl.n_rejected)) <= int(
         jnp.max(st_ns.n_accepted + st_ns.n_rejected)
     )
+
+
+def test_m13_sweep_with_mesh_sharding():
+    """The M13 design sweep shards members over the dp mesh axis (8
+    virtual CPU devices via conftest): the whole operator-splitting
+    driver runs SPMD per member."""
+    from test_m13 import _m13_model_input
+
+    from rmt_tpu.parallel import run_m13_sweep
+
+    mi = _m13_model_input()
+    mi["solver-config"] = dict(
+        mi.get("solver-config", {}), zNo=5, rNo=3, tNo=2
+    )
+    mesh = make_mesh()
+    B = len(jax.devices())
+    T0 = float(mi["operating-conditions"]["temperature"])
+    out = run_m13_sweep(
+        mi, {"T0": jnp.asarray(T0 + np.linspace(0.0, 4.0, B))}, mesh=mesh
+    )
+    assert out["gas"].shape[0] == B
+    assert bool(jnp.all(out["converged"]))
+    assert "dp" in str(out["gas"].sharding)
