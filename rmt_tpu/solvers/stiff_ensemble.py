@@ -171,11 +171,15 @@ def odeint_ensemble(
             rhs_noise = 4e-8        # TPU-emulated f64 transcendentals
         else:
             rhs_noise = 1e-14
-    # step-growth cap: the NS warm start needs small h drift (1.4x); the
-    # exact block solves refactor at every attempt, so they tolerate the
-    # larger growth a fresh transient wants (value A/B'd on the N2 case)
+    # step-growth cap: the NS warm start needs small h drift (1.4x). The
+    # exact block solves refactor at every attempt, so in f64 they
+    # tolerate the larger growth a fresh transient wants (A/B: mf=3
+    # improves accuracy at flat attempts). In f32 the exact solve still
+    # carries eps32-level noise and aggressive growth just feeds the
+    # Newton-failure limit cycle (A/B: mf=3 costs +22% attempts for no
+    # accuracy gain), so f32 keeps 1.4.
     _max_fac = float(max_factor) if max_factor is not None else (
-        3.0 if block is not None else _MAX_FACTOR
+        3.0 if (block is not None and dtype != jnp.float32) else _MAX_FACTOR
     )
     ts = jnp.asarray(ts, dtype)
     rtol = jnp.asarray(rtol, dtype)
