@@ -39,6 +39,8 @@ def child(x64: bool, b: int, path: str):
         kw["predict_stages"] = False
     if os.environ.get("ACC_NO_BARRIER"):
         kw["newton_h_barrier"] = False
+    if os.environ.get("ACC_EXACT"):
+        kw["exact_solve"] = True
     if x64:
         ys, st = run_n2_ensemble_lockstep(
             mi, sweep, max_steps=2048, rtol=1e-9, atol=1e-12, **kw)
