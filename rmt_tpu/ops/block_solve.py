@@ -103,6 +103,161 @@ def solve_bidiag(Minv, C, r, precision=_HI):
     return x
 
 
+def extract_tridiag_blocks(J, var_no: int, z_no: int):
+    """Extract diagonal, subdiagonal and superdiagonal blocks.
+
+    J: (B, n, n) with n = var_no*z_no, flat index v*z_no + z.
+    Returns (Jd, Jl, Ju): (B, z_no, var_no, var_no); Jd[b,z] couples node z
+    to itself, Jl[b,z] to node z-1 (Jl[b,0] = 0), Ju[b,z] to node z+1
+    (Ju[b,-1] = 0). This is the sparsity of MoL RHS functions with
+    central-difference axial dispersion (ops.jacobian.two_phase_coloring's
+    gas rows; the M13 gas phase, pbHeterReactor.py:1857-2160).
+    """
+    Jd, Jl = extract_bidiag_blocks(J, var_no, z_no)
+    B = J.shape[0]
+    J5 = J.reshape(B, var_no, z_no, var_no, z_no)
+    Ju_sup = jnp.diagonal(J5, offset=1, axis1=2, axis2=4)   # (B,v,v',z-1)
+    Ju_sup = jnp.moveaxis(Ju_sup, -1, 1)                    # (B, z-1, v, v')
+    Ju = jnp.concatenate([Ju_sup, jnp.zeros_like(Ju_sup[:, :1])], axis=1)
+    return Jd, Jl, Ju
+
+
+def _mm(a, b):
+    return jnp.einsum("bzij,bzjk->bzik", a, b, precision=_HI)
+
+
+def _mv(a, v):
+    return jnp.einsum("bzij,bzj->bzi", a, v, precision=_HI)
+
+
+def _shift_down(X):
+    """[0, X_0, ..., X_{n-2}] along axis 1 (slot j holds old slot j-1)."""
+    return jnp.concatenate([jnp.zeros_like(X[:, :1]), X[:, :-1]], axis=1)
+
+
+def tridiag_factor(D, L, U):
+    """Block cyclic-reduction factorization of the block-tridiagonal
+    system L_z x_{z-1} + D_z x_z + U_z x_{z+1} = r_z.
+
+    D, L, U: (B, z, m, m); L[:, 0] and U[:, -1] must be zero. Returns an
+    opaque factorization for tridiag_solve. ceil(log2 z) elimination
+    levels, each level batched (m x m) Gauss-Jordan inversions + ~8
+    batched small matmuls -- no sequential z recursion, so the whole
+    factorization is log-depth on the device.
+    """
+    B, N0, m, _ = D.shape
+    N = 1 << max(int(N0 - 1).bit_length(), 0)   # next power of two >= N0
+    if N != N0:
+        pad = N - N0
+        eye = jnp.broadcast_to(
+            jnp.eye(m, dtype=D.dtype), (B, pad, m, m)
+        )
+        zer = jnp.zeros((B, pad, m, m), D.dtype)
+        # padded rows are decoupled identity equations with zero rhs
+        D = jnp.concatenate([D, eye], axis=1)
+        L = jnp.concatenate([L, zer], axis=1)
+        U = jnp.concatenate([U, zer], axis=1)
+
+    levels = []
+    while D.shape[1] > 1:
+        half = D.shape[1] // 2
+        De, Le, Ue = D[:, 0::2], L[:, 0::2], U[:, 0::2]
+        Do, Lo, Uo = D[:, 1::2], L[:, 1::2], U[:, 1::2]
+        Dinv_o = batched_inv(Do.reshape(-1, m, m)).reshape(B, half, m, m)
+        # even row 2j eliminates odd neighbors 2j-1 (odd slot j-1, absent
+        # for j=0 where Le[0]=L_0=0) and 2j+1 (odd slot j):
+        Gl = _mm(Le, _shift_down(Dinv_o))
+        Gr = _mm(Ue, Dinv_o)
+        levels.append((Gl, Gr, Dinv_o, Lo, Uo))
+        D = De - _mm(Gl, _shift_down(Uo)) - _mm(Gr, Lo)
+        L = -_mm(Gl, _shift_down(Lo))
+        U = -_mm(Gr, Uo)
+    Dinv_top = batched_inv(D[:, 0])               # (B, m, m)
+    return (N0, N, Dinv_top, tuple(levels))
+
+
+def tridiag_solve(fac, r, precision=_HI):
+    """Solve with a tridiag_factor factorization. r: (B, z, m) -> x."""
+    N0, N, Dinv_top, levels = fac
+    B, _, m = r.shape
+    if N != N0:
+        r = jnp.concatenate(
+            [r, jnp.zeros((B, N - N0, m), r.dtype)], axis=1
+        )
+    # forward: reduce the rhs level by level (even rows absorb odd rows)
+    rs = []
+    for Gl, Gr, _, _, _ in levels:
+        re, ro = r[:, 0::2], r[:, 1::2]
+        rs.append(ro)
+        r = re - _mv(Gl, _shift_down(ro)) - _mv(Gr, ro)
+    x = jnp.einsum(
+        "bij,bj->bi", Dinv_top, r[:, 0], precision=precision
+    )[:, None]                                    # (B, 1, m)
+    # backward: recover odd rows, interleave with the even solution
+    for (Gl, Gr, Dinv_o, Lo, Uo), ro in zip(reversed(levels), reversed(rs)):
+        x_e = x
+        x_next = jnp.concatenate(
+            [x_e[:, 1:], jnp.zeros_like(x_e[:, :1])], axis=1
+        )
+        x_o = _mv(Dinv_o, ro - _mv(Lo, x_e) - _mv(Uo, x_next))
+        half = x_e.shape[1]
+        x = jnp.stack([x_e, x_o], axis=2).reshape(B, 2 * half, m)
+    return x[:, :N0]
+
+
+def make_shifted_solvers_tridiag(
+    Jd, Jl, Ju, h, gamma, mu_r, mu_i, dtype=jnp.float32
+):
+    """Tridiagonal twin of make_shifted_solvers: exact solvers for
+    (I - h*gamma*J) and (I - h*mu*J) when J is block TRIdiagonal
+    (axial-dispersion MoL coupling z-1, z, z+1).
+
+    Jd, Jl, Ju: (B, z, m, m) blocks of J; h: (B,). Returns
+    (solve_real, solve_cplx) with the same calling convention as the
+    bidiagonal version; the complex shift runs in the 2m x 2m real
+    embedding.
+    """
+    B, z_no, m, _ = Jd.shape
+    hw = h.astype(dtype)[:, None, None, None]
+    eye = jnp.eye(m, dtype=dtype)
+
+    fac_r = tridiag_factor(
+        eye - (gamma * hw) * Jd.astype(dtype),
+        -(gamma * hw) * Jl.astype(dtype),
+        -(gamma * hw) * Ju.astype(dtype),
+    )
+
+    def solve_real(r):
+        return tridiag_solve(fac_r, r.astype(dtype))
+
+    def embed(Br_, Bi_):
+        return jnp.concatenate(
+            [
+                jnp.concatenate([Br_, -Bi_], axis=-1),
+                jnp.concatenate([Bi_, Br_], axis=-1),
+            ],
+            axis=-2,
+        )
+
+    def shifted2(Jx):
+        Jx = Jx.astype(dtype)
+        return embed(-(mu_r * hw) * Jx, -(mu_i * hw) * Jx)
+
+    D2 = jnp.broadcast_to(
+        jnp.eye(2 * m, dtype=dtype), (B, z_no, 2 * m, 2 * m)
+    ) + shifted2(Jd)
+    fac_c = tridiag_factor(D2, shifted2(Jl), shifted2(Ju))
+
+    def solve_cplx(rr, ri):
+        r2 = jnp.concatenate(
+            [rr.astype(dtype), ri.astype(dtype)], axis=-1
+        )
+        x2 = tridiag_solve(fac_c, r2)
+        return x2[..., :m], x2[..., m:]
+
+    return solve_real, solve_cplx
+
+
 def make_shifted_solvers(Jd, Jl, h, gamma, mu_r, mu_i, dtype=jnp.float32):
     """Build exact solvers for (I - h*gamma*J) and (I - h*mu*J).
 

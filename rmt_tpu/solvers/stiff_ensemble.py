@@ -153,6 +153,10 @@ def odeint_ensemble(
     inverses -- ~m^2*z vs n^2 work per solve (m = var_no, n = m*z), no
     residual certificates, and no preconditioner state. ns_refresh /
     ns_step / use_pallas are ignored in this mode.
+    block=(var_no, z_no, "tridiag"): same, for block-TRIdiagonal MoL
+    Jacobians (central-difference axial dispersion couples z-1, z, z+1;
+    the M13 gas phase). Solved exactly by block cyclic reduction
+    (log2(z_no) levels of batched small matmuls, ops.block_solve).
     Returns (ys, stats) with ys of shape (n_out, B, n); ys[0] == y0.
     """
     if args is not None:
@@ -426,7 +430,10 @@ def odeint_ensemble(
     if block is not None:
         from ..ops import block_solve as _bs
 
-        var_no_b, z_no_b = block
+        var_no_b, z_no_b = block[0], block[1]
+        # block=(m, z) -> lower bidiagonal (BD convection MoL);
+        # block=(m, z, "tridiag") -> tridiagonal (CD axial dispersion)
+        block_tridiag = len(block) > 2 and block[2] == "tridiag"
         if var_no_b * z_no_b != n:
             raise ValueError(
                 f"block {block} does not tile the state size {n}"
@@ -438,7 +445,11 @@ def odeint_ensemble(
         def from_blocks(xb):    # (B, z, m) -> (B, n)
             return xb.transpose(0, 2, 1).reshape(Bsz, n)
 
-        def make_block_solvers(h_eff, Jd, Jl):
+        def make_block_solvers(h_eff, Jd, Jl, Ju):
+            if block_tridiag:
+                return _bs.make_shifted_solvers_tridiag(
+                    Jd, Jl, Ju, h_eff, gamma, mu_r, mu_i
+                )
             return _bs.make_shifted_solvers(
                 Jd, Jl, h_eff, gamma, mu_r, mu_i
             )
@@ -481,11 +492,12 @@ def odeint_ensemble(
         J64 = J.astype(dtype)
 
         if block is not None:
-            # exact block solvers rebuilt from (Jd, Jl) at the CURRENT h:
-            # factorization is z_no batched (m x m) inversions -- cheap
-            # enough to do every attempt, so no warm-start state exists.
-            # (Pr, Pcr) carry (Jd, Jl); Pci is an unused placeholder.
-            solve_real, solve_cplx = make_block_solvers(h_eff, Pr, Pcr)
+            # exact block solvers rebuilt from (Jd, Jl[, Ju]) at the
+            # CURRENT h: factorization is batched (m x m) inversions --
+            # cheap enough to do every attempt, so no warm-start state
+            # exists. (Pr, Pcr) carry (Jd, Jl); Pci carries Ju in tridiag
+            # mode and is an unused placeholder otherwise.
+            solve_real, solve_cplx = make_block_solvers(h_eff, Pr, Pcr, Pci)
             rho = jnp.zeros((Bsz,), f32)
         else:
             # warm preconditioner maintenance every attempt (h drift <= 1.4x)
@@ -670,11 +682,15 @@ def odeint_ensemble(
         # refresh the Jacobian once per chunk; h grows <= 1.4^16 within it
         J = jacB(t, y).astype(f32)
         if block is not None:
-            # block mode: carry the fresh (Jd, Jl) blocks; solvers are
-            # rebuilt exactly from them at each attempt's h
-            Jd, Jl = _bs.extract_bidiag_blocks(J, var_no_b, z_no_b)
+            # block mode: carry the fresh (Jd, Jl[, Ju]) blocks; solvers
+            # are rebuilt exactly from them at each attempt's h
+            if block_tridiag:
+                Jd, Jl, Ju = _bs.extract_tridiag_blocks(J, var_no_b, z_no_b)
+            else:
+                Jd, Jl = _bs.extract_bidiag_blocks(J, var_no_b, z_no_b)
+                Ju = Pci
             st = st._replace(n_jev=st.n_jev + 1)
-            state = (t, y, yc, fval, h, J, Jd, Jl, Pci, seg, out, st,
+            state = (t, y, yc, fval, h, J, Jd, Jl, Ju, seg, out, st,
                      Kp, hp, pv, hbar)
             state, _ = lax.scan(attempt, state, None, length=chunk)
             return state
@@ -741,10 +757,14 @@ def odeint_ensemble(
     span = ts[-1] - ts[0]
     h0 = jnp.minimum(0.05 / (abs(gamma) * j_norm + 1e-30), 1e-3 * span)
     if block is not None:
-        # block mode carries (Jd, Jl) in the Pr/Pcr slots and a tiny
-        # placeholder where the NS mode keeps Pci
-        Jd0, Jl0 = _bs.extract_bidiag_blocks(J0, var_no_b, z_no_b)
-        P1_0, P2_0, P3_0 = Jd0, Jl0, jnp.zeros((Bsz, 1, 1), f32)
+        # block mode carries (Jd, Jl) in the Pr/Pcr slots and either Ju
+        # (tridiag) or a tiny placeholder where the NS mode keeps Pci
+        if block_tridiag:
+            Jd0, Jl0, Ju0 = _bs.extract_tridiag_blocks(J0, var_no_b, z_no_b)
+            P1_0, P2_0, P3_0 = Jd0, Jl0, Ju0
+        else:
+            Jd0, Jl0 = _bs.extract_bidiag_blocks(J0, var_no_b, z_no_b)
+            P1_0, P2_0, P3_0 = Jd0, Jl0, jnp.zeros((Bsz, 1, 1), f32)
     else:
         eyeB = jnp.tile(jnp.eye(n, dtype=f32)[None], (Bsz, 1, 1))
         P1_0, P2_0, P3_0 = eyeB, eyeB, jnp.zeros_like(eyeB)

@@ -21,8 +21,12 @@ def child(x64: bool, b: int, path: str):
     import jax
 
     # the axon TPU plugin ignores the JAX_PLATFORMS env var (it grabs the
-    # backend regardless); only the config knob actually selects cpu
-    plat = os.environ.get("ACC_PLATFORM", "cpu")
+    # backend regardless); only the config knob actually selects cpu.
+    # ACC_PLATFORM_F64 / ACC_PLATFORM_F32 override per child so the f32
+    # leg can run on-chip against a CPU-converged f64 reference.
+    plat = os.environ.get(
+        "ACC_PLATFORM_F64" if x64 else "ACC_PLATFORM_F32",
+        os.environ.get("ACC_PLATFORM", "cpu"))
     if plat == "cpu":
         jax.config.update("jax_platforms", "cpu")
     print(f"# child backend: {jax.default_backend()}", file=sys.stderr)
@@ -82,7 +86,11 @@ def main():
         "B": b,
         "max_rel_err": float(rel.max()),
         "mean_rel_err": float(rel.mean()),
-        "platform": os.environ.get("ACC_PLATFORM", "cpu"),
+        "platform": {
+            m: os.environ.get(
+                f"ACC_PLATFORM_F{m}",
+                os.environ.get("ACC_PLATFORM", "cpu"))
+            for m in ("64", "32")},
     }))
 
 

@@ -16,10 +16,16 @@ import jax.numpy as jnp
 from dme_case import make_model_input
 from rmt_tpu.parallel import run_n2_ensemble_lockstep
 
+X64 = os.environ["RMT_TPU_X64"] != "0"
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 mi = make_model_input(model="N2")
 sweep = {"T0": jnp.asarray(523.0 + np.linspace(-5.0, 5.0, B))}
-kw = dict(max_steps=768, rtol=1e-5, atol=1e-7, newton_iters=5)
+kw = dict(
+    max_steps=768,
+    rtol=1e-7 if X64 else 1e-5,
+    atol=1e-10 if X64 else 1e-7,
+    newton_iters=6 if X64 else 5,
+)
 
 for label, ex in (("block", True), ("ns", False)):
     def run():

@@ -317,6 +317,56 @@ def test_lockstep_exact_block_solve_mode():
     )
 
 
+def test_lockstep_tridiag_block_mode():
+    """block=(m, z, "tridiag") solves the stage systems of a
+    central-difference reaction-diffusion MoL exactly by block cyclic
+    reduction; trajectories must match the dense Newton-Schulz mode
+    within the step-control tolerance (Brusselator-with-diffusion
+    ensemble, tridiagonal z-coupling the bidiagonal mode cannot
+    represent)."""
+    var_no, z_no = 2, 12
+    n = var_no * z_no
+    alpha, dz = 0.02, 1.0 / (z_no - 1)
+    Bp = jnp.asarray([3.0, 3.4, 2.8, 3.2])
+
+    def f_single(t, y, bp):
+        Y = y.reshape(var_no, z_no)
+        u, v = Y[0], Y[1]
+
+        def lap(w):
+            wl = jnp.concatenate([w[1:2], w[:-1]])    # mirror at z=0
+            wr = jnp.concatenate([w[1:], w[-2:-1]])   # mirror at z=1
+            return (wl - 2.0 * w + wr) / dz**2
+
+        du = 1.0 + u * u * v - (bp + 1.0) * u + alpha * lap(u)
+        dv = bp * u - u * u * v + alpha * lap(v)
+        return jnp.stack([du, dv]).reshape(-1)
+
+    fB = jax.vmap(f_single, in_axes=(0, 0, 0))
+    jB = jax.vmap(jax.jacobian(f_single, argnums=1), in_axes=(0, 0, 0))
+    f_batched = lambda t, y: fB(t, y, Bp)
+    jac_batched = lambda t, y: jB(t, y, Bp)
+
+    z = jnp.linspace(0.0, 1.0, z_no)
+    u0 = 1.0 + 0.1 * jnp.sin(2.0 * jnp.pi * z)
+    y0_one = jnp.concatenate([u0, jnp.full((z_no,), 3.0)])
+    y0 = jnp.tile(y0_one[None], (Bp.shape[0], 1))
+    ts = jnp.asarray([0.0, 0.5, 1.0])
+    kw = dict(
+        rtol=1e-6, atol=1e-9, max_steps=512,
+        jac=jac_batched, batched=True,
+    )
+    ys_ns, st_ns = stiff_ensemble.odeint_ensemble(f_batched, y0, ts, **kw)
+    ys_tr, st_tr = stiff_ensemble.odeint_ensemble(
+        f_batched, y0, ts, block=(var_no, z_no, "tridiag"), **kw
+    )
+    assert int(jnp.min(st_tr.seg)) == ys_tr.shape[0] - 1
+    rel = jnp.max(
+        jnp.abs(ys_tr - ys_ns) / jnp.maximum(jnp.abs(ys_ns), 1e-7)
+    )
+    assert float(rel) < 5e-4, float(rel)
+
+
 def test_m13_sweep_with_mesh_sharding():
     """The M13 design sweep shards members over the dp mesh axis (8
     virtual CPU devices via conftest): the whole operator-splitting
