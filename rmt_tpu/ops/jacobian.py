@@ -27,6 +27,24 @@ def banded_coloring(var_no: int, z_no: int):
     return colors, V, mask.astype(np.float64)
 
 
+def tridiag_coloring(var_no: int, z_no: int):
+    """Colors + sparsity mask for a (var_no, z_no) row-major MoL state
+    whose axial coupling is TRIdiagonal (central-difference dispersion:
+    output (v, z) depends on inputs (v', z-1..z+1); the M13 gas phase,
+    pbHeterReactor.py:1857-2160). 3*var_no JVP directions (columns 3
+    nodes apart never hit a common output row)."""
+    n = var_no * z_no
+    idx = np.arange(n)
+    v_of = idx // z_no
+    z_of = idx % z_no
+    colors = v_of * 3 + (z_of % 3)
+    n_colors = 3 * var_no
+    V = np.zeros((n_colors, n))
+    V[colors, idx] = 1.0
+    mask = np.abs(z_of[:, None] - z_of[None, :]) <= 1
+    return colors, V, mask.astype(np.float64)
+
+
 def two_phase_coloring(n_layer: int, r_rows: int, z_no: int):
     """Colors + sparsity mask for a (n_layer, r_rows, z_no) row-major state
     of the coupled dynamic heterogeneous models (M10-M12): radial row 0 is
@@ -76,6 +94,29 @@ def colored_jacobian_from(rhs_flat, coloring):
             V_j.astype(y.dtype)
         )
         return jv[colors_j, :].T * mask_j.astype(y.dtype)
+
+    return jac
+
+
+def batched_colored_jacobian(fB, coloring):
+    """jac(x (B, n)) -> (B, n, n) for a BATCHED function of independent
+    members fB(x (B, n)) -> (B, n), from n_colors JVPs with tangents
+    broadcast across the batch (members never mix, so one tangent per
+    color serves every member)."""
+    colors, V, mask = coloring
+    V_j = jnp.asarray(V)
+    mask_j = jnp.asarray(mask)
+    colors_j = jnp.asarray(colors)
+
+    def jac(x):
+        Bsz = x.shape[0]
+        jv = jax.vmap(
+            lambda tangent: jax.jvp(
+                fB, (x,), (jnp.tile(tangent[None], (Bsz, 1)),)
+            )[1]
+        )(V_j.astype(x.dtype))                  # (n_colors, B, n_out)
+        # J[b, out, in] = jv[colors[in], b, out] on the sparsity mask
+        return jv[colors_j].transpose(1, 2, 0) * mask_j.astype(x.dtype)
 
     return jac
 

@@ -367,17 +367,32 @@ def run_m13_sweep(
     rtol: float = 1e-5,
     atol: float = 1e-7,
     mesh: Mesh | None = None,
+    engine: str = "vmap",
+    **engine_kwargs,
 ):
     """Ensemble sweep of the M13 operator-splitting heterogeneous reactor.
 
     The whole split driver -- per interval a gas MoL Radau solve, then
-    zNo particle BVPs by PTC + damped Newton, with the reference's
+    zNo particle BVPs by globalized damped Newton, with the reference's
     staggered interface exchange -- is one pure function of the parameter
     pytree (models.hetero_dyn.make_m13_driver), so a design sweep is one
     jax.vmap'd jitted program; the dp mesh shards members across chips.
     The reference's only equivalent is a Python loop of rmtExe calls,
     each running scipy solve_ivp + fsolve per interval
     (pbHeterReactor.py:995-1148).
+
+    engine="vmap" (default) vmaps the per-member split driver: adaptive
+    while_loop Radau + sequential damped Newton per member -- the right
+    engine on CPU. engine="lockstep" runs all members through ONE
+    scan-based program (no while_loop anywhere: the tunneled TPU runtime
+    executes a while_loop iteration ~100x slower than the identical scan
+    body): the gas phase on the lockstep stiff integrator with exact
+    block-TRIdiagonal stage solves (the dispersion MoL Jacobian couples
+    z-1, z, z+1), the solid phase as lockstep damped Newton over all
+    (member, z) nodes at once with block-tridiagonal (layer, r) linear
+    solves, globalized by a bulk-homotopy rescue. Normal mesh only (the
+    refined dense-zone stencils reach z-2, breaking the tridiagonal
+    structure).
 
     Returns a dict: gas (B, tNo, noLayer, zNo) dimensionless gas profiles
     per interval, solid (B, tNo, noLayer, rNo, zNo), converged (B,) bool
@@ -394,6 +409,22 @@ def run_m13_sweep(
     else:
         zmesh = None
         z_no = int(sc.get("zNo", 10))
+    if engine == "lockstep":
+        if zmesh is not None:
+            raise ValueError(
+                "engine='lockstep' supports the normal mesh only (the "
+                "refined dense-zone stencils couple z-2, which the "
+                "block-tridiagonal stage solves cannot represent)"
+            )
+        return _run_m13_sweep_lockstep(
+            model_input, sweep, z_no, rtol, atol, mesh, **engine_kwargs
+        )
+    if engine != "vmap":
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine_kwargs:
+        raise TypeError(
+            f"engine='vmap' takes no extra options: {sorted(engine_kwargs)}"
+        )
     spec = hetero_dyn.m13_build_spec(
         model_input,
         z_no=z_no,
@@ -418,6 +449,393 @@ def run_m13_sweep(
         "unreached": jnp.sum(unr_t, axis=1),
         "ts": ts_grid[0] if ts_grid.ndim == 2 else ts_grid,
     }
+
+
+def _run_m13_sweep_lockstep(
+    model_input: Mapping[str, Any],
+    sweep: Mapping[str, Any],
+    z_no: int,
+    rtol: float,
+    atol: float,
+    mesh: Mesh | None,
+    max_steps_gas: int = 768,
+    homotopy_stages: int = 4,
+    newton_iters_solid: int = 30,
+):
+    """Scan-based lockstep M13 ensemble (see run_m13_sweep docstring).
+
+    Semantics mirror models.hetero_dyn.make_m13_driver interval for
+    interval (staggered interface exchange: gas integrates with the
+    PREVIOUS interval's solid surface, the solid solves against the
+    PREVIOUS interval's gas bulk): gas MoL on
+    stiff_ensemble.odeint_ensemble with block=(n_layer, zNo, "tridiag")
+    exact stage solves, solid particle BVPs as damped Newton
+    (solvers.newton.root_batched) over all B*zNo nodes at once with
+    block-tridiagonal (layer, r) solves, and a bulk-homotopy rescue for
+    nodes whose warm Newton diverges (see `rescue` below).
+    """
+    from ..models import hetero_dyn
+    from ..ops import jacobian as jac_ops
+    from ..solvers import newton as newton_mod
+
+    sc = model_input.get("solver-config", {})
+    spec = hetero_dyn.m13_build_spec(
+        model_input,
+        z_no=z_no,
+        r_no=int(sc.get("rNo", 7)),
+        t_no=int(sc.get("tNo", 5)),
+    )
+    base = hetero_dyn.m13_params(model_input)
+    if "opT" in sweep:
+        raise ValueError("the M13 sweep requires a shared period")
+    params, axes = batch_params(base, sweep)
+    if mesh is not None:
+        params = shard_batch(mesh, params, axes)
+
+    gas_rhs = hetero_dyn.make_m13_gas_rhs(
+        spec, flux_sign=-1.0, mesh=None, clamp_width=0.0
+    )
+    node_res = hetero_dyn.make_m13_solid_node_residual(spec)
+    n_comp, n_layer, r_no, z_nod = (
+        spec.n_comp, spec.n_layer, spec.r_no, spec.z_no
+    )
+    gas_coloring = jac_ops.tridiag_coloring(n_layer, z_nod)
+    solid_coloring = jac_ops.tridiag_coloring(n_layer, r_no)
+    eps_c = hetero_dyn.EPS_CONST
+
+    def run(params):
+        dB = jax.vmap(
+            lambda pp: hetero_dyn.m13_feed(spec, pp), in_axes=(axes,)
+        )(params)
+        y_gas = jax.vmap(
+            lambda pp: hetero_dyn.m13_gas_initial_state(spec, pp),
+            in_axes=(axes,),
+        )(params)
+        y_solid = jax.vmap(
+            lambda pp: hetero_dyn.m13_solid_initial_state(spec, pp),
+            in_axes=(axes,),
+        )(params)
+        Bsz = y_gas.shape[0]
+        cs_surf = y_solid[:, :n_comp, 0, :]
+        ts_surf = y_solid[:, n_comp, 0, :]
+        g0 = y_gas.reshape(Bsz, n_layer, z_nod)
+        c_bulk, t_bulk = g0[:, :n_comp], g0[:, n_comp]
+        ts_grid = (
+            params["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+        ).astype(y_gas.dtype)
+
+        gas_vm = jax.vmap(gas_rhs, in_axes=(0, 0, axes, 0, 0, 0))
+
+        def solid_residual(x, cb, tb):
+            """x: (B*z, n_layer*r_no) node states; cb (B, n_comp, z),
+            tb (B, z) are the gas bulk values entering the Robin BC."""
+            yn = x.reshape(Bsz, z_nod, n_layer, r_no)
+
+            def member(yn_m, cb_m, tb_m, pp, dd):
+                def node(yn_z, cb_z, tb_z):
+                    # hard EPS clamp of the bulk, as the normal-mesh
+                    # driver (pbHeterReactor.py:1575,1791)
+                    return node_res(
+                        yn_z, jnp.maximum(cb_z, eps_c), tb_z, pp, dd
+                    )
+
+                return jax.vmap(node, in_axes=(0, 1, 0))(yn_m, cb_m, tb_m)
+
+            r = jax.vmap(member, in_axes=(0, 0, 0, axes, 0))(
+                yn, cb, tb, params, dB
+            )
+            return r.reshape(Bsz * z_nod, n_layer * r_no)
+
+        def solve_solid(x0, cb, tb):
+            res = lambda x: solid_residual(x, cb, tb)
+            jac_solid = jac_ops.batched_colored_jacobian(
+                res, solid_coloring
+            )
+            return newton_mod.root_batched(
+                res, x0, max_iter=newton_iters_solid,
+                jac=jac_solid, tol=1e-9,
+                block=(n_layer, r_no, "tridiag"),
+            )
+
+        def interval(carry, tpair):
+            (y_gas, y_solid, cs_surf, ts_surf,
+             c_bulk, t_bulk, c_prev, t_prev, nunr) = carry
+
+            def fB(t, y):
+                return gas_vm(t, y, params, dB, cs_surf, ts_surf)
+
+            def jac_gas(t, y):
+                return jac_ops.batched_colored_jacobian(
+                    lambda yy: fB(t, yy), gas_coloring
+                )(y)
+
+            ys, stats = stiff_ensemble.odeint_ensemble(
+                fB, y_gas, tpair, rtol=rtol, atol=atol,
+                jac=jac_gas, batched=True,
+                block=(n_layer, z_nod, "tridiag"),
+                max_steps=max_steps_gas,
+            )
+            y_gas = ys[-1]
+            unreached = (stats.seg < 1).astype(jnp.int32)
+
+            # solid phase against the PREVIOUS interval's bulk (staggered).
+            # The previous interval's solid state is a warm start (the
+            # BVP solution moves continuously with the bulk), so damped
+            # Newton converges directly at most intervals.
+            x0 = y_solid.transpose(0, 3, 1, 2).reshape(
+                Bsz * z_nod, n_layer * r_no
+            )
+            sol = solve_solid(x0, c_bulk, t_bulk)
+            need = ~sol.converged
+
+            def rescue(args):
+                # Bulk-homotopy continuation for nodes whose warm Newton
+                # diverged (typically the near-inlet nodes of the early
+                # intervals, where the bulk jumps from the 1e-6 seed to
+                # feed levels in one interval and the warm start is far
+                # outside the Newton basin of the violently nonlinear
+                # LHHW kinetics): x0 solves the BVP at the PREVIOUS bulk
+                # (c_prev, t_prev), and the solution is continuous in the
+                # bulk, so re-solve along the segment prev->new in
+                # homotopy_stages warm-started Newton solves. Convergence
+                # is judged by the FINAL (w=1) stage only -- measured: an
+                # INTERMEDIATE bulk can itself be Newton-pathological
+                # from the current iterate while both halves of the path
+                # around it converge fine, so a failed stage just carries
+                # its iterate forward. Alternatives measured and
+                # rejected: SER-PTC on dx/dtau = res(x) stalls (implicit
+                # Euler rejects any dt > 1e-7 on this flow -- the
+                # residual landscape is a narrow curved valley both
+                # Newton and PTC jump off), and the lockstep stiff
+                # integrator tracking that flow thrashes at 61% rejection
+                # where the sequential radau needs 82 steps.
+                x_sol, conv_n = args
+
+                def stage(xk, w):
+                    cbk = (1.0 - w) * c_prev + w * c_bulk
+                    tbk = (1.0 - w) * t_prev + w * t_bulk
+                    sk = solve_solid(xk, cbk, tbk)
+                    xk = jnp.where(sk.converged[:, None], sk.x, xk)
+                    return xk, sk.converged
+
+                ws = jnp.linspace(
+                    1.0 / homotopy_stages, 1.0, homotopy_stages
+                ).astype(x0.dtype)
+                xh, conv_stages = jax.lax.scan(stage, x0, ws)
+                conv_h = conv_stages[-1]
+                return (
+                    jnp.where(need[:, None], xh, x_sol),
+                    jnp.where(need, conv_h, conv_n),
+                )
+
+            x_sol, conv_n = jax.lax.cond(
+                jnp.any(need), rescue, lambda a: a,
+                (sol.x, sol.converged),
+            )
+            # nodes that STILL failed keep the previous interval's solid
+            # state (a diverged Newton iterate would poison the carry);
+            # their member is reported converged=False
+            x_sol = jnp.where(conv_n[:, None], x_sol, x0)
+            y_solid = x_sol.reshape(Bsz, z_nod, n_layer, r_no).transpose(
+                0, 2, 3, 1
+            )
+            conv = jnp.all(conv_n.reshape(Bsz, z_nod), axis=1)
+            cs_surf = y_solid[:, :n_comp, 0, :]
+            ts_surf = y_solid[:, n_comp, 0, :]
+            # the bulk the NEXT interval's warm start was solved against
+            # (converged nodes only: failed nodes kept their x0, which
+            # still solves the OLD bulk -- but per-node tracking isn't
+            # worth it; a failed node re-enters through the homotopy)
+            c_prev, t_prev = c_bulk, t_bulk
+            Yg = y_gas.reshape(Bsz, n_layer, z_nod)
+            c_bulk, t_bulk = Yg[:, :n_comp], Yg[:, n_comp]
+            nunr = nunr + unreached
+            carry = (
+                y_gas, y_solid, cs_surf, ts_surf,
+                c_bulk, t_bulk, c_prev, t_prev, nunr,
+            )
+            return carry, (y_gas, y_solid, conv, unreached)
+
+        nunr0 = jnp.zeros(Bsz, jnp.int32)
+        # interval 0 has no previous solve: c_prev = the same gas-IV bulk
+        # the first solid solve targets, so its homotopy degenerates to
+        # the direct Newton (which converges from the cold seed; the
+        # rescue then cannot help but also cannot hurt)
+        carry, (gas_t, solid_t, conv_t, unr_t) = jax.lax.scan(
+            interval,
+            (y_gas, y_solid, cs_surf, ts_surf, c_bulk, t_bulk,
+             c_bulk, t_bulk, nunr0),
+            jnp.stack([ts_grid[:-1], ts_grid[1:]], axis=1),
+        )
+        return gas_t, solid_t, conv_t, unr_t, ts_grid
+
+    gas_t, solid_t, conv_t, unr_t, ts_grid = jax.jit(run)(params)
+    b = gas_t.shape[1]
+    return {
+        "gas": jnp.moveaxis(gas_t, 0, 1).reshape(
+            b, spec.t_no, spec.n_layer, spec.z_no
+        ),
+        "solid": jnp.moveaxis(solid_t, 0, 1),
+        "converged": jnp.all(conv_t, axis=0),
+        "unreached": jnp.sum(unr_t, axis=0),
+        "ts": ts_grid,
+    }
+
+
+def _hetero_dyn_sweep(
+    model_input: Mapping[str, Any],
+    sweep: Mapping[str, Any],
+    *,
+    model_id: str,
+    rtol: float,
+    atol: float,
+    mesh: Mesh | None,
+    y0,
+    solver_kwargs,
+):
+    """Shared body of the M10/M12 design sweeps: a batch of coupled
+    gas+particle transients as one vmapped jitted Radau run with the
+    two-phase colored Jacobian (the M11 pattern; see run_m11_sweep for
+    why the dynamic-hetero TPU story is member-sharding over the dp mesh
+    rather than the lockstep engine)."""
+    from ..models import hetero_dyn
+    from ..ops import jacobian as jac_ops
+
+    sc = model_input.get("solver-config", {})
+    if sc.get("mesh", "normal") != "normal":
+        raise ValueError(
+            f"the {model_id} sweep supports the normal mesh only; run "
+            "refined-mesh cases through rmtExe"
+        )
+    spec = hetero_dyn.m13_build_spec(
+        model_input,
+        z_no=int(sc.get("zNo", 100 if model_id == "M10" else 10)),
+        r_no=7,                       # both particle schemes use the
+                                      # 7-point basis (S2.rNo / T1.rNo.oc)
+        t_no=int(sc.get("tNo", 10 if model_id == "M10" else 5)),
+    )
+    if model_id == "M10":
+        base = hetero_dyn.m10_params(model_input)
+        rhs = hetero_dyn.make_m10_rhs(spec, clamp_interface=True)
+    else:
+        base = hetero_dyn.m13_params(model_input)
+        rhs = hetero_dyn.make_m12_rhs(spec, clamp_interface=True)
+    params, axes = batch_params(base, sweep)
+    bsz = int(next(iter(sweep.values())).shape[0])
+    n_state = spec.n_layer * (spec.r_no + 1) * spec.z_no
+
+    if y0 is None:
+        if model_id == "M10":
+            y0B = jax.vmap(
+                lambda pp: hetero_dyn.m10_initial_state(spec, pp),
+                in_axes=(axes,),
+            )(params)
+        else:
+            # M12's reference seed (1e-6 everywhere) enters the singular
+            # near-zero-kinetics LHHW regime within ~1e-6 s (see
+            # tests/test_m12.py::test_m12_api_end_to_end); default to the
+            # physical startup state instead: feed composition at every
+            # (r, z) node, theta = 0
+            def physical(pp):
+                c_in = pp["SpCoi0"] / jnp.max(pp["SpCoi0"])
+                c = jnp.tile(
+                    c_in[:, None, None],
+                    (1, spec.r_no + 1, spec.z_no),
+                )
+                th = jnp.zeros((1, spec.r_no + 1, spec.z_no), c.dtype)
+                return jnp.concatenate([c, th], axis=0).reshape(-1)
+
+            y0B = jax.vmap(physical, in_axes=(axes,))(params)
+    else:
+        y0B = jnp.asarray(y0)
+        if y0B.ndim == 1:
+            y0B = jnp.tile(y0B[None], (bsz, 1))
+        if y0B.shape != (bsz, n_state):
+            raise ValueError(
+                f"y0 must have shape ({bsz}, {n_state}) or ({n_state},); "
+                f"got {y0B.shape}"
+            )
+    if mesh is not None:
+        params = shard_batch(mesh, params, axes)
+        y0B = jax.device_put(y0B, NamedSharding(mesh, P("dp")))
+
+    coloring = jac_ops.two_phase_coloring(
+        spec.n_layer, spec.r_no + 1, spec.z_no
+    )
+
+    def single(pp, y0_m):
+        ts = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(
+            y0_m.dtype
+        )
+        if model_id == "M10":
+            f = lambda t, y: rhs(t, y, pp)
+            args = (pp,)
+        else:
+            d = hetero_dyn.m13_feed(spec, pp)
+            f = lambda t, y: rhs(t, y, pp, d)
+            args = (pp, d)
+        jac = jac_ops.colored_jacobian_from(f, coloring)
+        ys, stats = radau.odeint(
+            rhs, y0_m, ts, rtol=rtol, atol=atol, args=args, jac=jac,
+            **solver_kwargs,
+        )
+        return ys, stats
+
+    fn = jax.jit(jax.vmap(single, in_axes=(axes, 0)))
+    return fn(params, y0B)
+
+
+def run_m10_sweep(
+    model_input: Mapping[str, Any],
+    sweep: Mapping[str, Any],
+    rtol: float = 1e-5,
+    atol: float = 1e-6,
+    mesh: Mesh | None = None,
+    y0=None,
+    **solver_kwargs,
+):
+    """Ensemble sweep of the M10 dynamic heterogeneous reactor (real
+    units, OC particle, live velocity/pressure marches -- reference
+    pbReactor.runM6; our salvaged RHS, models.hetero_dyn.make_m10_rhs).
+
+    Same engine as run_m11_sweep: one vmapped jitted Radau run, two-phase
+    colored Jacobians, members sharded over the dp `mesh`. y0 overrides
+    the initial state ((n,) shared or (B, n) per member; default is the
+    reference's seed via m10_initial_state). Returns (ys, stats): ys
+    (B, tNo+1, noLayer*(rNo+1)*zNo) in real units, stats per-member
+    RadauStats.
+    """
+    return _hetero_dyn_sweep(
+        model_input, sweep, model_id="M10", rtol=rtol, atol=atol,
+        mesh=mesh, y0=y0, solver_kwargs=solver_kwargs,
+    )
+
+
+def run_m12_sweep(
+    model_input: Mapping[str, Any],
+    sweep: Mapping[str, Any],
+    rtol: float = 1e-5,
+    atol: float = 1e-6,
+    mesh: Mesh | None = None,
+    y0=None,
+    **solver_kwargs,
+):
+    """Ensemble sweep of the M12 dynamic heterogeneous reactor (OC
+    particle with the static algebraic interface -- reference
+    pbReactor.runM8; salvaged RHS, models.hetero_dyn.make_m12_rhs).
+
+    Same engine as run_m11_sweep. y0 overrides the initial state ((n,)
+    shared or (B, n) per member); the default is the PHYSICAL startup
+    state (feed composition everywhere, theta=0), NOT the reference's
+    1e-6 seed -- that seed collapses into the singular near-zero-kinetics
+    regime within ~1e-6 s and no integrator leaves it (measured; see
+    tests/test_m12.py). Returns (ys, stats) with dimensionless states
+    (B, tNo+1, noLayer*(rNo+1)*zNo).
+    """
+    return _hetero_dyn_sweep(
+        model_input, sweep, model_id="M12", rtol=rtol, atol=atol,
+        mesh=mesh, y0=y0, solver_kwargs=solver_kwargs,
+    )
 
 
 def run_m14_sweep(

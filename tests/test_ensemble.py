@@ -282,6 +282,145 @@ def test_m13_sweep_vmapped():
     assert float(jnp.max(jnp.abs(out["gas"][1] - out["gas"][0]))) > 1e-4
 
 
+def test_m10_sweep_vmapped():
+    """M10 design sweep: member 0 must match the single-run rmtExe M10
+    trajectory (same grid/tolerances), and a hotter member must differ."""
+    from test_m10 import _m10_model_input
+
+    from rmt_tpu import rmtExe
+    from rmt_tpu.parallel import run_m10_sweep
+
+    mi = _m10_model_input()
+    mi["operating-conditions"]["period"] = 0.02
+    mi["solver-config"] = dict(
+        mi.get("solver-config", {}), zNo=4, tNo=2
+    )
+    T0 = float(mi["operating-conditions"]["temperature"])
+    ys, stats = run_m10_sweep(mi, {"T0": jnp.asarray([T0, T0 + 8.0])})
+    assert ys.shape[0] == 2 and ys.shape[1] == 3
+    assert bool(jnp.all(jnp.isfinite(ys)))
+
+    single = rmtExe(dict(mi))["resModel"]
+    np.testing.assert_allclose(
+        np.asarray(ys[0, -1]),
+        np.asarray(single["checkpoint"]["state"]).reshape(-1),
+        rtol=2e-5, atol=1e-9,
+    )
+    assert float(jnp.max(jnp.abs(ys[1] - ys[0]))) > 1e-6
+
+
+def test_m12_sweep_vmapped():
+    """M12 design sweep from the default PHYSICAL startup state: member 0
+    must match the single-run rmtExe M12 trajectory started from the same
+    state via resume-state injection."""
+    from test_m12 import _m12_model_input
+
+    from rmt_tpu import rmtExe
+    from rmt_tpu.models import hetero_dyn
+    from rmt_tpu.parallel import run_m12_sweep
+
+    mi = _m12_model_input()
+    mi["operating-conditions"]["period"] = 4e-3
+    mi["solver-config"] = dict(
+        mi.get("solver-config", {}), zNo=4, tNo=2
+    )
+    T0 = float(mi["operating-conditions"]["temperature"])
+    ys, stats = run_m12_sweep(mi, {"T0": jnp.asarray([T0, T0 + 8.0])})
+    assert ys.shape[0] == 2 and ys.shape[1] == 3
+    assert bool(jnp.all(jnp.isfinite(ys)))
+
+    # the default y0 is the feed-everywhere physical state; reproduce it
+    # for the single-run comparison through the public resume-state path
+    spec = hetero_dyn.m13_build_spec(mi, z_no=4, r_no=7, t_no=2)
+    p = hetero_dyn.m13_params(mi)
+    c_in = np.asarray(p["SpCoi0"]) / np.max(np.asarray(p["SpCoi0"]))
+    y0 = np.concatenate(
+        [np.tile(c_in[:, None, None], (1, 8, 4)), np.zeros((1, 8, 4))],
+        axis=0,
+    ).reshape(-1)
+    mi_single = dict(mi)
+    mi_single["resume-state"] = {"model": "M12", "t": 0.0, "state": y0}
+    single = rmtExe(mi_single)["resModel"]
+    np.testing.assert_allclose(
+        np.asarray(ys[0, -1]),
+        np.asarray(single["checkpoint"]["state"]).reshape(-1),
+        rtol=2e-5, atol=1e-9,
+    )
+    assert float(jnp.max(jnp.abs(ys[1] - ys[0]))) > 1e-6
+
+    # explicit y0 round-trip: (n,) broadcast form
+    ys2, _ = run_m12_sweep(
+        mi, {"T0": jnp.asarray([T0, T0 + 8.0])}, y0=y0
+    )
+    np.testing.assert_allclose(
+        np.asarray(ys2), np.asarray(ys), rtol=1e-12, atol=0.0
+    )
+
+
+def test_m13_sweep_lockstep_engine():
+    """engine="lockstep" (scan-based: tridiag-block gas integrator +
+    batched Newton solid phase with the bulk-homotopy rescue) reproduces
+    the vmap engine's split dynamics member for member, and the node
+    residual/gas Jacobian are verified block-tridiagonal (the structural
+    assumption of the exact stage solves)."""
+    from test_m13 import _m13_model_input
+
+    from rmt_tpu.models import hetero_dyn
+    from rmt_tpu.ops import jacobian as jac_ops
+    from rmt_tpu.parallel import run_m13_sweep
+
+    mi = _m13_model_input()
+    mi["solver-config"] = dict(
+        mi.get("solver-config", {}), zNo=5, rNo=4, tNo=3
+    )
+    T0 = float(mi["operating-conditions"]["temperature"])
+    sweep = {"T0": jnp.asarray([T0, T0 + 8.0])}
+
+    # structural check: the gas RHS Jacobian really is tridiagonal in z
+    # and the solid node residual tridiagonal in r (dense jacfwd vs mask)
+    spec = hetero_dyn.m13_build_spec(mi, z_no=5, r_no=4, t_no=3)
+    p = hetero_dyn.m13_params(mi)
+    d = hetero_dyn.m13_feed(spec, p)
+    rhs = hetero_dyn.make_m13_gas_rhs(spec, flux_sign=-1.0)
+    yg = hetero_dyn.m13_gas_initial_state(spec, p) + 1e-3
+    ysol = hetero_dyn.m13_solid_initial_state(spec, p)
+    cs, tsf = ysol[: spec.n_comp, 0, :] + 1e-4, ysol[spec.n_comp, 0, :]
+    Jg = jax.jacfwd(lambda y: rhs(0.0, y, p, d, cs, tsf))(yg)
+    _, _, mask_g = jac_ops.tridiag_coloring(spec.n_layer, spec.z_no)
+    assert float(jnp.max(jnp.abs(Jg * (1.0 - mask_g)))) == 0.0
+    node_res = hetero_dyn.make_m13_solid_node_residual(spec)
+    yn = ysol[:, :, 0] + 1e-4
+    Jn = jax.jacfwd(
+        lambda y: node_res(
+            y.reshape(spec.n_layer, spec.r_no), cs[:, 0] + 1e-3,
+            tsf[0], p, d
+        ).reshape(-1)
+    )(yn.reshape(-1))
+    _, _, mask_n = jac_ops.tridiag_coloring(spec.n_layer, spec.r_no)
+    assert float(jnp.max(jnp.abs(Jn * (1.0 - mask_n)))) == 0.0
+
+    out_v = run_m13_sweep(mi, sweep)
+    out_l = run_m13_sweep(mi, sweep, engine="lockstep")
+    assert bool(jnp.all(out_l["converged"]))
+    assert int(jnp.sum(out_l["unreached"])) == 0
+    # both engines drive the solid Newton to tol=1e-9 (globalized by
+    # flow-following resp. bulk homotopy -- same root either way); the
+    # gas phases differ only by integrator error
+    np.testing.assert_allclose(
+        np.asarray(out_l["gas"]), np.asarray(out_v["gas"]),
+        rtol=2e-4, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_l["solid"]), np.asarray(out_v["solid"]),
+        rtol=2e-4, atol=1e-8,
+    )
+
+    with pytest.raises(ValueError):
+        bad = dict(mi)
+        bad["solver-config"] = dict(mi["solver-config"], mesh="refined")
+        run_m13_sweep(bad, sweep, engine="lockstep")
+
+
 def test_lockstep_microbatch_matches_single_batch():
     """microbatch=K runs the ensemble as a lax.scan of K-member batches
     inside one compiled call (amortizes the tunneled runtime's fixed

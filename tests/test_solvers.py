@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rmt_tpu.solvers import dopri5, fixed, radau
+from rmt_tpu.solvers import dopri5, fixed, newton, radau
 
 
 def _lotka(t, z, params):
@@ -105,3 +105,80 @@ def test_radau_vmaps_over_parameters():
     ys = jax.vmap(solve_one)(ks)
     expected = np.exp(-np.asarray(ks)[:, None] * np.asarray(ts)[None, :])
     np.testing.assert_allclose(np.asarray(ys), expected, rtol=1e-7)
+
+
+def _tridiag_reaction_residual(var_no, z_no, kappa):
+    """Batched residual of a nonlinear reaction-diffusion steady state:
+    tridiagonal z-coupling (CD Laplacian), dense local species coupling."""
+    dz = 1.0 / (z_no - 1)
+
+    def f(x):  # (B, n) flat v*z layout
+        X = x.reshape(-1, var_no, z_no)
+        u, v = X[:, 0], X[:, 1]
+
+        def lap(w):
+            wl = jnp.concatenate([w[:, 1:2], w[:, :-1]], axis=1)
+            wr = jnp.concatenate([w[:, 1:], w[:, -2:-1]], axis=1)
+            return (wl - 2.0 * w + wr) / dz**2
+
+        ru = 0.02 * lap(u) + 1.0 - u - kappa[:, None] * u * v * v
+        rv = 0.02 * lap(v) + kappa[:, None] * u * v * v - v
+        return jnp.stack([ru, rv], axis=1).reshape(x.shape[0], -1)
+
+    return f
+
+
+def test_root_batched_matches_per_member_root():
+    """root_batched (lockstep scan, masked members) agrees with the
+    sequential damped Newton per member, for dense, bidiagonal-block and
+    tridiagonal-block linear solves."""
+    var_no, z_no = 2, 9
+    n = var_no * z_no
+    kappa = jnp.asarray([4.0, 5.0, 6.5])
+    f = _tridiag_reaction_residual(var_no, z_no, kappa)
+    x0 = jnp.full((3, n), 0.8)
+
+    # per-member oracle
+    want = []
+    for b in range(3):
+        fb = lambda x: f(jnp.tile(x[None], (3, 1)))[b]
+        sol = newton.root(fb, x0[b], max_iter=40, tol=1e-12)
+        assert bool(sol.converged)
+        want.append(np.asarray(sol.x))
+    want = np.stack(want)
+
+    for block in (None, (var_no, z_no, "tridiag")):
+        sol = newton.root_batched(
+            f, x0, max_iter=40, tol=1e-12, block=block
+        )
+        assert bool(jnp.all(sol.converged)), block
+        np.testing.assert_allclose(
+            np.asarray(sol.x), want, rtol=1e-8, atol=1e-10
+        )
+    # residuals actually vanish
+    np.testing.assert_array_less(
+        np.asarray(jnp.abs(f(jnp.asarray(want)))).max(), 1e-9
+    )
+
+
+def test_root_batched_bidiag_block():
+    """Block-bidiagonal mode on a convection-style lower-coupled system."""
+    var_no, z_no = 2, 7
+    n = var_no * z_no
+    a = jnp.asarray([0.5, 0.9])
+
+    def f(x):  # upwind convection + local nonlinearity: couples z, z-1
+        X = x.reshape(-1, var_no, z_no)
+        Xm = jnp.concatenate([X[:, :, :1], X[:, :, :-1]], axis=2)
+        r = (X - Xm) * 3.0 + X**3 - a[:, None, None]
+        return r.reshape(x.shape[0], -1)
+
+    x0 = jnp.full((2, n), 0.5)
+    sol_d = newton.root_batched(f, x0, max_iter=30, tol=1e-12)
+    sol_b = newton.root_batched(
+        f, x0, max_iter=30, tol=1e-12, block=(var_no, z_no)
+    )
+    assert bool(jnp.all(sol_d.converged)) and bool(jnp.all(sol_b.converged))
+    np.testing.assert_allclose(
+        np.asarray(sol_b.x), np.asarray(sol_d.x), rtol=1e-8, atol=1e-12
+    )
