@@ -9,6 +9,7 @@
 
 from __future__ import annotations
 
+import os
 import types
 from timeit import default_timer as timer
 from typing import Any, Mapping
@@ -1695,7 +1696,21 @@ def _run_m13(model_input, opts):
 # ---------------------------------------------------------------------------
 
 def rmtExe(modelInput: Mapping[str, Any]):
-    """Check model input, then start computation (reference: rmt.py:21-80)."""
+    """Check model input, then start computation (reference: rmt.py:21-80).
+
+    Set RMT_TPU_PROFILE=<dir> to capture a jax.profiler trace of the run
+    (device + host timelines, viewable in TensorBoard/Perfetto) — the
+    TPU-native replacement for the reference's wall-clock-only
+    observability (SURVEY §5; reference: pbHomoReactor.py:2705,2987).
+    """
+    profile_dir = os.environ.get("RMT_TPU_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            return _rmt_exe_inner(modelInput)
+    return _rmt_exe_inner(modelInput)
+
+
+def _rmt_exe_inner(modelInput: Mapping[str, Any]):
     tic = timer()
     _validate_model_input(modelInput)
     model_type = modelInput["model"]

@@ -72,3 +72,20 @@ def test_kinetic_overrides_accepted_and_applied():
     mi2["kinetic-overrides"] = {"K1": 1e-6}  # kill the methanol rate
     mod = np.asarray(rmtExe(mi2)["resModel"][0]["dataYs"])
     assert np.max(np.abs(base - mod)) > 1e-4
+
+
+def test_profile_env_captures_jax_trace(tmp_path, monkeypatch):
+    # RMT_TPU_PROFILE=<dir> wraps the run in jax.profiler.trace (SURVEY §5
+    # observability: device/host timelines replace the reference's
+    # wall-clock-only reporting, pbHomoReactor.py:2987).
+    import os
+
+    monkeypatch.setenv("RMT_TPU_PROFILE", str(tmp_path))
+    res = rmtExe(make_model_input(model="N1"))
+    assert "resModel" in res
+    dumped = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tmp_path)
+        for f in fs
+    ]
+    assert dumped, "profiler trace directory is empty"
