@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import types
+import warnings
 from timeit import default_timer as timer
 from typing import Any, Mapping
 
@@ -66,6 +67,11 @@ _SOLVER_CONFIG_KEYS = {
     "zNo", "tNo", "timesNo", "rNo", "rampList", "numerical-method", "NuEl",
 }
 _ROOT_METHODS = {"default", "fsolve", "root", "least_squares"}
+# reference configs name scipy methods (pbHomoReactor.py:2916-2932); the
+# stiff ones (LSODA/BDF/Radau and the "default" placeholder) all route to
+# solvers/radau.py, explicit ones to dopri5, "AM" to fixed.precorr3 --
+# anything else (typos included) must raise, not silently run radau
+_IVP_METHODS = {"default", "LSODA", "BDF", "Radau", "AM", "RK45", "dopri5"}
 
 _jit_cache: dict[tuple, Any] = {}
 
@@ -230,6 +236,14 @@ def _solver_options(model_input: Mapping[str, Any]) -> dict[str, Any]:
             "no TPU analogue)"
         )
     ivp = sc.get("ivp", "default")
+    if ivp not in _IVP_METHODS:
+        raise ValueError(
+            f"unknown solver-config ivp {ivp!r}; supported: "
+            f"{sorted(_IVP_METHODS)} (the reference's stiff scipy methods "
+            "LSODA/BDF/Radau all route to the jittable Radau IIA(5) "
+            "integrator, 'RK45'/'dopri5' to the explicit Dopri5 path, "
+            "'AM' to the fixed-step PreCorr3 stepper -- see MIGRATION.md)"
+        )
     return {
         "ivp": ivp,
         "root": root,
@@ -1705,8 +1719,20 @@ def rmtExe(modelInput: Mapping[str, Any]):
     """
     profile_dir = os.environ.get("RMT_TPU_PROFILE")
     if profile_dir:
-        with jax.profiler.trace(profile_dir):
-            return _rmt_exe_inner(modelInput)
+        # jax.profiler sessions cannot nest: a concurrent rmtExe call (or a
+        # caller that already holds an active trace) must not turn an
+        # opt-in debug flag into a hard failure -- fall through un-traced.
+        try:
+            trace_cm = jax.profiler.trace(profile_dir)
+            trace_cm.__enter__()
+        except Exception as e:  # pragma: no cover - profiler runtime state
+            warnings.warn(f"RMT_TPU_PROFILE: trace not started ({e}); "
+                          "running un-profiled", RuntimeWarning)
+        else:
+            try:
+                return _rmt_exe_inner(modelInput)
+            finally:
+                trace_cm.__exit__(None, None, None)
     return _rmt_exe_inner(modelInput)
 
 

@@ -390,9 +390,10 @@ def make_n2_colored_jacobian(spec: HomoSpec):
 # Reference: PyREMOT/examples/homoModels.py:49-539 (runT1 driver) and
 # :540-1421 (modelEquationT1). The reference registers it as T3Init
 # (rmtCore.py:440-449) but the model dispatcher never routes "T3", so the
-# code path is unreachable there; here it is a first-class model. Only the
-# uniform-mesh branch (solver-config mesh == "normal") is implemented; the
-# refined two-zone mesh exists in ops/stencils.two_zone_mesh for later.
+# code path is unreachable there; here it is a first-class model. Both mesh
+# branches are wired: uniform (solver-config mesh == "normal") and the
+# two-zone refined mesh (api/rmt.py routes mesh != "normal" through
+# ops/stencils.two_zone_mesh; parity + e2e in tests/test_mesh.py).
 # ---------------------------------------------------------------------------
 
 def t3_params(model_input: Mapping[str, Any]) -> dict[str, Any]:

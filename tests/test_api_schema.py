@@ -89,3 +89,40 @@ def test_profile_env_captures_jax_trace(tmp_path, monkeypatch):
         for f in fs
     ]
     assert dumped, "profiler trace directory is empty"
+
+
+def test_typo_ivp_value_rejected():
+    # a typo'd ivp must raise, not silently fall through to radau
+    # (reference configs name LSODA/BDF/Radau, pbHomoReactor.py:2916-2932)
+    mi = make_model_input(model="N1")
+    mi["solver-config"]["ivp"] = "LSODAX"
+    with pytest.raises(ValueError, match="LSODAX"):
+        rmtExe(mi)
+
+
+def test_reference_ivp_names_accepted():
+    import numpy as np
+
+    mi = make_model_input(model="N1")
+    mi["solver-config"]["ivp"] = "LSODA"
+    a = np.asarray(rmtExe(mi)["resModel"][0]["dataYs"])
+    mi2 = make_model_input(model="N1")
+    mi2["solver-config"]["ivp"] = "BDF"
+    b = np.asarray(rmtExe(mi2)["resModel"][0]["dataYs"])
+    # both stiff names route to the same Radau IIA(5) integrator
+    assert np.array_equal(a, b)
+
+
+def test_profile_env_nested_trace_degrades_gracefully(tmp_path, monkeypatch):
+    # an already-active profiler session must not turn RMT_TPU_PROFILE
+    # into a hard failure (advisor finding, round 2)
+    import warnings as _warnings
+
+    import jax
+
+    monkeypatch.setenv("RMT_TPU_PROFILE", str(tmp_path))
+    with jax.profiler.trace(str(tmp_path / "outer")):
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore", RuntimeWarning)
+            res = rmtExe(make_model_input(model="N1"))
+    assert "resModel" in res
