@@ -1637,8 +1637,39 @@ def _run_m13(model_input, opts):
         ))
         _jit_cache[key] = runner
 
+    # checkpoint/resume: the reference re-seeds interval state in memory
+    # only (pbHeterReactor.py:1134-1148); here the split gas+solid state is
+    # a first-class artifact. M13's state is NOT a flat vector (staggered
+    # gas/solid exchange), so the checkpoint carries both phases.
+    resume = model_input.get("resume-state")
+    if resume is not None:
+        if resume.get("model") != "M13":
+            raise ValueError(
+                f"resume-state is for model {resume.get('model')!r}, "
+                "not 'M13'"
+            )
+        y_gas0 = jnp.asarray(np.asarray(resume["gas"], dtype=np.float64)
+                             ).reshape(-1)
+        y_solid0 = jnp.asarray(np.asarray(resume["solid"], dtype=np.float64))
+        if y_gas0.shape[0] != spec.n_layer * spec.z_no:
+            raise ValueError(
+                f"resume-state gas has {y_gas0.shape[0]} entries; this "
+                f"grid needs {spec.n_layer * spec.z_no}"
+            )
+        if y_solid0.shape != (spec.n_layer, spec.r_no, spec.z_no):
+            raise ValueError(
+                f"resume-state solid has shape {y_solid0.shape}; this "
+                f"grid needs {(spec.n_layer, spec.r_no, spec.z_no)}"
+            )
+        t_start = float(resume.get("t", 0.0))
+    else:
+        y_gas0 = y_solid0 = None
+        t_start = 0.0
+
     start = timer()
-    gas_t, solid_t, conv_t, unr_t, ts_grid = runner(p)
+    gas_t, solid_t, conv_t, unr_t, ts_grid = runner(
+        p, y_gas0, y_solid0, jnp.asarray(t_start)
+    )
     unr = np.asarray(unr_t)
     conv = np.asarray(conv_t)
     if unr.sum() or not conv.all():
@@ -1704,6 +1735,12 @@ def _run_m13(model_input, opts):
         "dataList": data_list,
         "dataPack": data_pack,
         "computation-time": elapsed,
+        "checkpoint": {
+            "model": "M13",
+            "t": float(t_bounds[-1]),
+            "gas": gas_t[-1].copy(),
+            "solid": solid_t[-1].copy(),
+        },
     }
 
 

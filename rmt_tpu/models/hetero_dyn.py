@@ -1118,10 +1118,18 @@ def make_m13_driver(spec: M13Spec, mesh=None, rtol=1e-5, atol=1e-7):
         clamp breaks the stage Newton / stalls the particle solve on the
         singular LHHW regime -- see _run_m13 history in STATUS.md).
 
-    Returns run(p) -> (gas_t, solid_t, conv_t, unr_t, ts_grid):
+    Returns run(p, y_gas0=None, y_solid0=None, t_start=0.0) ->
+    (gas_t, solid_t, conv_t, unr_t, ts_grid):
     gas_t (tNo, n_layer*zNo), solid_t (tNo, n_layer, rNo, zNo),
     conv_t/unr_t per-interval solid-Newton and gas-budget flags. Pure in
     p, so design sweeps are jax.vmap(run) (parallel.run_m13_sweep).
+
+    y_gas0/y_solid0/t_start seed a RESUMED run (checkpoint/resume: the
+    reference's in-memory interval re-seed, pbHeterReactor.py:1134-1148,
+    formalized -- api/rmt._run_m13 round-trips them as the "checkpoint"
+    result field / "resume-state" input). Because every interval restarts
+    the gas integrator and the solid Newton from the carried state alone,
+    chained runs reproduce a single run exactly.
     """
     from ..solvers import newton, radau
 
@@ -1134,18 +1142,21 @@ def make_m13_driver(spec: M13Spec, mesh=None, rtol=1e-5, atol=1e-7):
         spec.n_comp, spec.n_layer, spec.r_no, spec.z_no
     )
 
-    def run(pp):
+    def run(pp, y_gas0=None, y_solid0=None, t_start=0.0):
         d = m13_feed(spec, pp)
-        y_gas = m13_gas_initial_state(spec, pp)
-        y_solid = m13_solid_initial_state(spec, pp)
-        # initial interface = solid IV surface row; initial bulk = gas IV
+        y_gas = m13_gas_initial_state(spec, pp) if y_gas0 is None else y_gas0
+        y_solid = (m13_solid_initial_state(spec, pp) if y_solid0 is None
+                   else y_solid0)
+        # initial interface = solid surface row; initial bulk = gas state
+        # (on resume these ARE the previous run's staggered-exchange
+        # values, so the continuation is exact)
         cs_surf = y_solid[:n_comp, 0, :]
         ts_surf = y_solid[n_comp, 0, :]
         g0 = y_gas.reshape(n_layer, z_no)
         c_bulk, t_bulk = g0[:n_comp], g0[n_comp]
-        ts_grid = (pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)).astype(
-            y_gas.dtype
-        )
+        ts_grid = (
+            t_start + pp["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+        ).astype(y_gas.dtype)
 
         def solve_node(y_node, cb, tb):
             # clamp the gas bulk before it enters the particle Robin BC:

@@ -257,3 +257,43 @@ def test_m13_api_end_to_end():
     # solid interface concentrations are physical
     assert np.all(np.isfinite(last["dataYCons"]))
     assert np.all(last["dataYTemps"] > 400.0)
+
+
+def test_m13_checkpoint_resume_matches_single_run():
+    """M13's split gas+solid state is a first-class checkpoint: two
+    chained 2.5 s runs (save -> resume) land on the same state as one
+    5 s run. The reference only re-seeds interval state in memory
+    (pbHeterReactor.py:1134-1148); since every interval restarts the gas
+    integrator and solid Newton from the carried state alone, the
+    chained continuation is exact."""
+    from rmt_tpu.api import rmt
+
+    grid = {"zNo": 8, "rNo": 5, "tNo": 2}
+
+    mi_full = _m13_model_input()
+    mi_full["operating-conditions"]["period"] = 5.0
+    mi_full["solver-config"].update(dict(grid, tNo=4))
+    full = rmt.rmtExe(mi_full)["resModel"]
+
+    mi_a = _m13_model_input()
+    mi_a["operating-conditions"]["period"] = 2.5
+    mi_a["solver-config"].update(grid)
+    res_a = rmt.rmtExe(mi_a)["resModel"]
+    ck = res_a["checkpoint"]
+    assert ck["model"] == "M13" and abs(ck["t"] - 2.5) < 1e-12
+
+    mi_b = _m13_model_input()
+    mi_b["operating-conditions"]["period"] = 2.5
+    mi_b["solver-config"].update(grid)
+    mi_b["resume-state"] = ck
+    res_b = rmt.rmtExe(mi_b)["resModel"]
+
+    # times continue from the checkpoint
+    assert abs(res_b["dataPack"][-1]["dataTime"] - 5.0) < 1e-9
+    ck_chained, ck_full = res_b["checkpoint"], full["checkpoint"]
+    np.testing.assert_allclose(
+        ck_chained["gas"], ck_full["gas"], rtol=1e-6, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        ck_chained["solid"], ck_full["solid"], rtol=1e-6, atol=1e-10
+    )
