@@ -8,12 +8,15 @@
 # Run: python examples/dme_n2_ensemble.py  (CPU works; TPU is ~100x faster)
 
 import math
+import os
 import sys
 
 import numpy as np
 
-from rmt_tpu import rmtExe
-from rmt_tpu.data import defaults as data
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rmt_tpu import rmtExe  # noqa: E402
+from rmt_tpu.data import defaults as data  # noqa: E402
 
 
 def make_model_input(T=523.0, P=5e6, period=0.5):

@@ -109,7 +109,7 @@ def _cmatmul(ar, ai, br, bi):
 
 @partial(
     jax.jit,
-    static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18),
+    static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18, 19),
 )
 def odeint_ensemble(
     f,
@@ -131,6 +131,7 @@ def odeint_ensemble(
     newton_h_barrier: bool = False,
     block=None,
     max_factor: float | None = None,
+    theta_target: float | None = None,
 ):
     """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
 
@@ -529,7 +530,7 @@ def odeint_ensemble(
             K = jnp.where(pv[:, None, None], Kg, K)
 
         def newton(carry_n, _):
-            K, done, dn, rn = carry_n
+            K, done, dn, rn, theta = carry_n
             Y = y[:, None, :] + h_eff[:, None, None] * jnp.einsum(
                 "ij,bjn->bin", A, K
             )
@@ -559,12 +560,19 @@ def odeint_ensemble(
             rn_keep = jnp.where(done, rn, rn_new)
             done_new = done | (dn_new < tol_eff)
             dn_keep = jnp.where(done, dn, dn_new)
-            return (K_new, done_new, dn_keep, rn_keep), None
+            # measured contraction rate of the simplified Newton iteration
+            # (Radau5's FACCON): the last ratio of successive increment
+            # norms computed while the member was still iterating. Members
+            # converging on the first sweep keep theta = 0 (no rate
+            # information -> no growth cap).
+            ratio = dn_new / jnp.maximum(dn, 1e-300)
+            theta_new = jnp.where(done | ~jnp.isfinite(dn), theta, ratio)
+            return (K_new, done_new, dn_keep, rn_keep, theta_new), None
 
-        (K, conv, _, res_n), _ = lax.scan(
+        (K, conv, _, res_n, theta_n), _ = lax.scan(
             newton,
             (K, jnp.zeros(Bsz, bool), jnp.full((Bsz,), jnp.inf, dtype),
-             jnp.full((Bsz,), jnp.inf, dtype)),
+             jnp.full((Bsz,), jnp.inf, dtype), jnp.zeros((Bsz,), dtype)),
             None,
             length=newton_iters,
         )
@@ -602,6 +610,25 @@ def odeint_ensemble(
         accept = (err_norm <= 1.0) & active
         err_c = jnp.clip(err_norm, 1e-10, 1e10)
         factor = jnp.clip(_SAFETY * err_c**_ORDER_EXP, _MIN_FACTOR, _max_fac)
+        if theta_target is not None:
+            # Newton-rate-keyed growth cap (Hairer-Wanner IV.8; Radau5's
+            # FACCON): with the embedded error far below 1, the plain
+            # I-controller grows h until simplified Newton fails, then
+            # halves -- a grow-until-fail limit cycle (measured: 100% of
+            # rejections are Newton non-convergence). The measured
+            # contraction rate theta scales roughly linearly with h
+            # through ||(I - hA J0)^-1 (hA (J - J0))||, so capping growth
+            # at theta_target/theta keeps the PREDICTED next-step rate
+            # under theta_target instead of probing failure. Members with
+            # theta = 0 (converged on sweep 1, no rate info) get no cap.
+            fac_con = jnp.where(
+                theta_n > 1e-8,
+                theta_target / jnp.maximum(theta_n, 1e-8).astype(dtype),
+                jnp.inf,
+            )
+            factor = jnp.minimum(
+                factor, jnp.clip(fac_con, _MIN_FACTOR, _max_fac)
+            )
         factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
         factor = jnp.where(conv, factor, 0.5)
         clamped = h_eff < h

@@ -403,9 +403,15 @@ def test_m13_sweep_lockstep_engine():
     out_l = run_m13_sweep(mi, sweep, engine="lockstep")
     assert bool(jnp.all(out_l["converged"]))
     assert int(jnp.sum(out_l["unreached"])) == 0
-    # both engines drive the solid Newton to tol=1e-9 (globalized by
-    # flow-following resp. bulk homotopy -- same root either way); the
-    # gas phases differ only by integrator error
+    # tolerance attribution (measured): the engines integrate the gas
+    # phase with DIFFERENT integrators (per-member adaptive radau vs
+    # lockstep block-tridiag Radau) at the same run rtol=1e-5, so they
+    # agree only to integrator truncation error -- rerunning both at
+    # rtol=1e-7 collapses the gas gap 6.4e-5 -> 3.1e-10 and the max
+    # ABSOLUTE solid gap to 1.4e-9 (the residual "relative" solid gap
+    # sits on near-zero concentrations; away from zero it is 2e-7).
+    # Both solid Newtons reach the same root to tol=1e-9; nothing in
+    # the 2e-4 is an engine approximation.
     np.testing.assert_allclose(
         np.asarray(out_l["gas"]), np.asarray(out_v["gas"]),
         rtol=2e-4, atol=1e-8,

@@ -64,6 +64,39 @@ def test_plot_functions_render(monkeypatch, tmp_path):
     plt.close("all")
 
 
+def test_plotclass_script_surface(monkeypatch):
+    """The reference's notebooks drive plotClass.plots2D / plots2DSub /
+    makeLabels directly (PyREMOT/library/plot.py:36-218); the same
+    script-level surface must exist here."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    shown = []
+    monkeypatch.setattr(plt, "show", lambda: shown.append(1))
+
+    from rmt_tpu.io.plot import plotClass
+
+    xs = np.linspace(0, 1, 11)
+    ys_list = [xs, xs**2, 1 - xs]
+    labels = plotClass.makeLabels(["A", "B"], ["T"])
+    assert labels == ["A", "B", "T"]
+
+    xy = plotClass.plots2DSetXYList(xs, ys_list)
+    assert len(xy) == 3 and xy[1][1] is ys_list[1]
+    items = plotClass.plots2DSetDataList(xy, labels)
+    assert items[2] == {"x": xs, "y": ys_list[2], "leg": "T"}
+
+    plotClass.plots2D(items, "x", "y", title="t")       # list form
+    plotClass.plots2D(items[0], "x", "y")               # single-item form
+    plotClass.plots2DSub([items, items[:1]], "x", "y",
+                         dataListPoint=[items[:1]])
+    plotClass.plot2D(xs, ys_list[0])
+    assert len(shown) == 4
+    plt.close("all")
+
+
 def test_display_result_gate_invokes_plot(monkeypatch):
     import matplotlib
 
