@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..constants import EPS_CONST, PI_CONST, R_CONST, Tref
 from ..data import species as DB
 from ..kinetics.dsl import RateProgram
@@ -257,7 +258,8 @@ def n2_initial_state(spec: HomoSpec, p, d):
     return jnp.concatenate(rows, axis=0).reshape(-1)
 
 
-def make_n2_rhs(spec: HomoSpec, frozen_pressure_jac: bool = False):
+def make_n2_rhs(spec: HomoSpec, frozen_pressure_jac: bool = False,
+                accurate_rates: bool = False):
     """RHS of the dynamic model (mirrors modelEquationN2,
     pbHomoReactor.py:3706-4134) with the per-node python loop replaced by
     array stencils + one lax.scan for the explicit axial pressure march.
@@ -267,6 +269,17 @@ def make_n2_rhs(spec: HomoSpec, frozen_pressure_jac: bool = False):
     variant ONLY to build preconditioner Jacobians (the march couples every
     node to all upstream nodes, but the coupling is weak); residual
     evaluations must use the exact RHS.
+
+    accurate_rates=True evaluates the kinetics chain, the stoichiometric
+    sum nu@R, and the reaction energetics in float64 inside an otherwise
+    float32 evaluation (requires an x64-enabled process). Motivation
+    (measured, scripts/rhs_noise.py): near chemical equilibrium the net
+    formation rate is a small difference of large opposing rates, so the
+    f32 rounding of the individual rates is amplified ~10^3x by the
+    cancellation -- the dominant term of the f32 whole-run accuracy
+    floor. Resolving just this chain in (TPU-emulated) f64 is cheap: it
+    is a per-node elementwise scalar program plus a (n_rxn x n_comp)
+    matvec, a tiny fraction of the RHS flops.
     """
     idx = spec.comp_idx
     n_comp = spec.n_comp
@@ -274,6 +287,11 @@ def make_n2_rhs(spec: HomoSpec, frozen_pressure_jac: bool = False):
     nu_comp = jnp.asarray(spec.stoich.nu_comp)
     var_no = spec.var_no_n2
     dz = 1.0 / (z_no - 1)
+    if accurate_rates and not config.x64_enabled():
+        raise ValueError(
+            "accurate_rates needs an x64-enabled process (RMT_TPU_X64=1) "
+            "so float64 exists for the kinetics chain"
+        )
 
     def rhs(t, y, p, d):
         Y = y.reshape(var_no, z_no)
@@ -326,21 +344,27 @@ def make_n2_rhs(spec: HomoSpec, frozen_pressure_jac: bool = False):
         ga_de_eos = P_z / rg_t
         ga_de_dl = ga_de_eos / d["GaDe0"]
 
-        # kinetics batched over the axial nodes
+        # kinetics batched over the axial nodes (in f64 under
+        # accurate_rates: the nu@R cancellation near equilibrium amplifies
+        # rate rounding ~10^3x, see the docstring)
+        hi = jnp.float64 if accurate_rates else T_re.dtype
         rate_fn = lambda T_, P_, mf_, sc_: spec.rates(
             T_, P_, mf_, sc_, p["kinetic_overrides"]
         )
         r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1, 1), out_axes=1)(
-            T_re, P_z, mo_fri, co_spi_re
+            T_re.astype(hi), P_z.astype(hi), mo_fri.astype(hi),
+            co_spi_re.astype(hi)
         )                                               # (n_rxn, zNo)
-        ri = jnp.einsum("mk,mz->kz", nu_comp, r0)       # (n_comp, zNo)
+        ri = jnp.einsum(
+            "mk,mz->kz", nu_comp.astype(hi), r0
+        ).astype(y.dtype)                               # (n_comp, zNo)
 
         cp_mean_i = thermo.cp_mean(T_re, idx)           # (zNo, n_comp)
         cp_mix = jnp.sum(mo_fri.T * cp_mean_i, axis=-1)
         cp_mix_dl = cp_mix / d["GaCpMeanMix0"]
         cp_mix_eff_dl = cp_mix_dl * eps
-        he_re_t = _reaction_energetics(spec, T_re)      # (zNo, n_rxn)
-        ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1)   # (zNo,)
+        he_re_t = _reaction_energetics(spec, T_re.astype(hi))  # (zNo, n_rxn)
+        ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1).astype(y.dtype)
         qm = _heat_exchange(p["Tm"], T_re, p["U"], d["aEff"])
 
         const_f1 = 1 / (eps * (d["zf"] / d["vf"]))

@@ -135,9 +135,31 @@ def run_n2_ensemble_lockstep(
     colored_jacobian: bool = True,
     microbatch: int | None = None,
     exact_solve: bool = False,
+    accurate_rates: bool | str = False,
     **solver_kwargs,
 ):
     """N2 dynamic ensemble on the TPU-native lockstep integrator.
+
+    accurate_rates=True runs the float32 integrator (states, stages,
+    step control, Newton-Schulz preconditioners all f32) but evaluates
+    the kinetics chain + reaction energetics of the RHS in float64 --
+    requires an x64-enabled process (RMT_TPU_X64=1). Motivation
+    (measured, scripts/rhs_noise.py): near chemical equilibrium the net
+    formation rate nu@R is a small difference of large opposing rates,
+    so f32 rate rounding is amplified ~10^3x by the cancellation and
+    owns the f32 whole-run accuracy floor. The f64 chain is per-node
+    elementwise work plus a tiny (n_rxn x n_comp) matvec -- a small
+    fraction of the RHS flops and none of the integrator matmuls.
+
+    accurate_rates="full" goes one step further: the WHOLE RHS (and the
+    preconditioner Jacobian) evaluates in float64 -- parameters and feed
+    state stay f64 so dtype promotion lifts every intermediate -- while
+    the integrator state, stages, step control, and stage solves remain
+    f32 (outputs are cast back). The residual f32 error is then only
+    state/stage quantization plus solve noise; all RHS arithmetic noise
+    (stencils, pressure march, EOS, properties) is gone. All the f64
+    work is elementwise (measured ~free on this runtime); every matmul
+    stays f32.
 
     exact_solve=True solves the Radau stage systems EXACTLY via the MoL
     Jacobian's block-bidiagonal structure (ops.block_solve: batched
@@ -170,12 +192,46 @@ def run_n2_ensemble_lockstep(
         raise ValueError("the lockstep integrator requires a shared period")
     params, axes = batch_params(base, sweep)
 
-    rhs = homo.make_n2_rhs(spec)
+    full_f64_rhs = accurate_rates == "full"
+    rhs = homo.make_n2_rhs(
+        spec, accurate_rates=bool(accurate_rates) and not full_f64_rhs
+    )
     jac_c = homo.make_n2_colored_jacobian(spec) if colored_jacobian else None
     if exact_solve:
         if not colored_jacobian:
             raise ValueError("exact_solve requires colored_jacobian=True")
         solver_kwargs.setdefault("block", (spec.var_no_n2, spec.z_no))
+
+    if accurate_rates:
+        # hybrid mode: f32 integrator state inside an x64 process. Clamp
+        # the RHS/Jacobian outputs back to f32 -- the x64 process makes
+        # spec tables f64, and one uncast output would silently promote
+        # the whole integrator (stages, NS matmuls) to emulated f64.
+        # accurate_rates=True additionally casts parameters and feed
+        # state to f32 so only the kinetics chain computes f64;
+        # "full" leaves them f64 so promotion lifts the ENTIRE RHS.
+        from .. import config as _config
+
+        if not _config.x64_enabled():
+            raise ValueError(
+                "accurate_rates needs an x64-enabled process "
+                "(RMT_TPU_X64=1) so float64 exists for the RHS"
+            )
+        f32 = jnp.float32
+
+        def _to_f32(tree):
+            return jax.tree.map(
+                lambda x: x.astype(f32)
+                if (hasattr(x, "dtype")
+                    and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating))
+                else x, tree)
+
+        if not full_f64_rhs:
+            params = _to_f32(params)
+        rhs_raw, jac_raw = rhs, jac_c
+        rhs = lambda t, y, p, d: rhs_raw(t, y, p, d).astype(f32)
+        if jac_raw is not None:
+            jac_c = lambda t, y, p, d: jac_raw(t, y, p, d).astype(f32)
 
     def run(params):
         def derive(q):
@@ -184,6 +240,10 @@ def run_n2_ensemble_lockstep(
 
         dB, y0B = jax.vmap(derive, in_axes=(axes,))(params)
         ts = params["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
+        if accurate_rates:
+            y0B, ts = _to_f32((y0B, ts))
+            if not full_f64_rhs:
+                dB = _to_f32(dB)
 
         fB = jax.vmap(rhs, in_axes=(0, 0, axes, 0))
 

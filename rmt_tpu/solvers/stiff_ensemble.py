@@ -561,12 +561,17 @@ def odeint_ensemble(
             done_new = done | (dn_new < tol_eff)
             dn_keep = jnp.where(done, dn, dn_new)
             # measured contraction rate of the simplified Newton iteration
-            # (Radau5's FACCON): the last ratio of successive increment
-            # norms computed while the member was still iterating. Members
-            # converging on the first sweep keep theta = 0 (no rate
+            # (Radau5's FACCON). Only ratios of PRE-convergence increments
+            # count: the converging sweep's increment sits at the
+            # tolerance/noise plateau and its ratio is meaningless (an
+            # A/B with the last-ratio form strangled h on healthy members
+            # -- accepted steps forever at tiny h, 64/64 unfinished).
+            # Members converging within 2 sweeps keep theta = 0 (no rate
             # information -> no growth cap).
             ratio = dn_new / jnp.maximum(dn, 1e-300)
-            theta_new = jnp.where(done | ~jnp.isfinite(dn), theta, ratio)
+            theta_new = jnp.where(
+                done | done_new | ~jnp.isfinite(dn), theta, ratio
+            )
             return (K_new, done_new, dn_keep, rn_keep, theta_new), None
 
         (K, conv, _, res_n, theta_n), _ = lax.scan(
@@ -621,13 +626,16 @@ def odeint_ensemble(
             # at theta_target/theta keeps the PREDICTED next-step rate
             # under theta_target instead of probing failure. Members with
             # theta = 0 (converged on sweep 1, no rate info) get no cap.
+            # growth-only: never shrink an accepted step on rate evidence
+            # (the error controller and rejections own shrinking); theta
+            # only gates how fast h may grow toward the Newton cliff.
             fac_con = jnp.where(
                 theta_n > 1e-8,
                 theta_target / jnp.maximum(theta_n, 1e-8).astype(dtype),
                 jnp.inf,
             )
             factor = jnp.minimum(
-                factor, jnp.clip(fac_con, _MIN_FACTOR, _max_fac)
+                factor, jnp.clip(fac_con, 1.0, _max_fac)
             )
         factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
         factor = jnp.where(conv, factor, 0.5)

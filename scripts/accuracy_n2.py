@@ -45,6 +45,13 @@ def child(x64: bool, b: int, path: str):
         kw["newton_h_barrier"] = False
     if os.environ.get("ACC_EXACT"):
         kw["exact_solve"] = True
+    if os.environ.get("ACC_ACCURATE") and not x64:
+        # f32 leg, f64 kinetics chain ("1") or whole f64 RHS ("full")
+        acc = os.environ["ACC_ACCURATE"]
+        kw["accurate_rates"] = "full" if acc == "full" else True
+    # ACC_CHILD_X64: run the "f32 leg" slot as plain f64 at the same
+    # tolerances -- isolates the TRUNCATION component of the error at
+    # bench tolerances from f32 evaluation/state noise
     if x64:
         ys, st = run_n2_ensemble_lockstep(
             mi, sweep, max_steps=2048, rtol=1e-9, atol=1e-12, **kw)
@@ -73,8 +80,11 @@ def main():
     outs = {}
     for mode in ("1", "0"):
         path = f"/tmp/acc_n2_{mode}.npy"
+        # accurate_rates needs float64 to exist in the f32 child's process
+        x64 = "1" if (mode == "1" or os.environ.get("ACC_ACCURATE")
+                      or os.environ.get("ACC_CHILD_X64")) else "0"
         env = dict(os.environ, ACC_CHILD=f"{mode};{b};{path}",
-                   RMT_TPU_X64=mode, JAX_PLATFORMS=os.environ.get(
+                   RMT_TPU_X64=x64, JAX_PLATFORMS=os.environ.get(
                        "ACC_PLATFORM", "cpu"))
         subprocess.run([sys.executable, os.path.abspath(__file__)],
                        env=env, check=True)

@@ -462,6 +462,31 @@ def test_lockstep_exact_block_solve_mode():
     )
 
 
+def test_lockstep_hybrid_accurate_rates():
+    """accurate_rates runs the f32 integrator inside the (x64) process
+    with the kinetics chain (True) or the whole RHS ("full") evaluated
+    in f64. States must come back f32 and the trajectories must agree
+    with the plain f64 run within the step-control tolerance; the f64
+    kinetics also smooth Newton, so attempts must not blow up."""
+    mi = make_model_input(model="N2")
+    sweep = {"T0": jnp.asarray([523.0, 528.0])}
+    kw = dict(max_steps=768, rtol=1e-5, atol=1e-7, newton_iters=5)
+    ys_64, st_64 = run_n2_ensemble_lockstep(mi, sweep, **kw)
+    for mode in (True, "full"):
+        ys_h, st_h = run_n2_ensemble_lockstep(
+            mi, sweep, accurate_rates=mode, exact_solve=True, **kw)
+        assert ys_h.dtype == jnp.float32, (mode, ys_h.dtype)
+        assert int(jnp.min(st_h.seg)) == ys_h.shape[0] - 1
+        rel = jnp.max(
+            jnp.abs(ys_h.astype(jnp.float64) - ys_64)
+            / jnp.maximum(jnp.abs(ys_64), 1e-7)
+        )
+        assert float(rel) < 5e-4, (mode, float(rel))
+        assert int(jnp.max(st_h.n_accepted + st_h.n_rejected)) <= 2 * int(
+            jnp.max(st_64.n_accepted + st_64.n_rejected)
+        )
+
+
 def test_lockstep_tridiag_block_mode():
     """block=(m, z, "tridiag") solves the stage systems of a
     central-difference reaction-diffusion MoL exactly by block cyclic
