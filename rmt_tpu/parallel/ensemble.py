@@ -217,6 +217,14 @@ def run_n2_ensemble_lockstep(
                 "accurate_rates needs an x64-enabled process "
                 "(RMT_TPU_X64=1) so float64 exists for the RHS"
             )
+        # config.setup only forces true-f32 matmuls in x64=False mode; the
+        # hybrid runs f32 states inside an x64 process, where TPU would
+        # lower the integrator's default-precision f32 einsums (stage
+        # construction, eigen-transforms) to bf16 passes -- measured
+        # on-chip: 4e-3 relative noise exceeds the Newton floor and all
+        # members hit the attempt budget (the same failure config.setup
+        # documents for whole-program f32). Force full-precision matmuls.
+        jax.config.update("jax_default_matmul_precision", "highest")
         f32 = jnp.float32
 
         def _to_f32(tree):

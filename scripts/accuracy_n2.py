@@ -59,6 +59,8 @@ def child(x64: bool, b: int, path: str):
         rtol = float(os.environ.get("ACC_RTOL", "1e-5"))
         atol = float(os.environ.get("ACC_ATOL", "1e-7"))
         kw.setdefault("newton_iters", int(os.environ.get("ACC_NI", "5")))
+        if os.environ.get("ACC_JEVERY"):
+            kw["j_every"] = int(os.environ["ACC_JEVERY"])
         max_steps = int(os.environ.get("ACC_MAX_STEPS", "768"))
         ys, st = run_n2_ensemble_lockstep(
             mi, sweep, max_steps=max_steps, rtol=rtol, atol=atol, **kw)
