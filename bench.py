@@ -35,19 +35,30 @@ REFERENCE_PATH = "/root/reference"
 # Per-leg configurations.
 #   f32  -- throughput leg: plain float32 at the f32-usable tolerances.
 #   f32x -- north-star leg: f32 integrator with the kinetics chain in
-#           f64 (accurate_rates; x64 process) + exact block-bidiagonal
-#           stage solves. Measured <=1e-6 max rel err vs a converged
-#           f64 run at FEWER attempts than the f32 leg (the f64 rates
-#           also smooth Newton; CPU B=16: 200/210 vs 326/365).
+#           compensated double-float32 pairs (accurate_rates="df32",
+#           ops/df32.py -- pure f32 process, no emulated f64) + exact
+#           block-bidiagonal stage solves. rtol=7e-7: the run-to-run
+#           accuracy floor is ~7e-7 (measured on-chip B=16 vs a
+#           CPU-converged f64 run: rtol=1e-6 -> 9.8e-7, 7e-7 -> 6.6e-7,
+#           5e-7 -> 8.3e-7 -- non-monotone, so 7e-7 buys the best 1e-6
+#           margin at IDENTICAL attempts, 140-148 mean/max vs the plain
+#           leg's 387: the accurate rates also smooth Newton). B=512
+#           throughput 8.80 members/s (~850x).
 #   f64  -- full float64 (TPU-emulated) reference-grade leg.
 # j_every=8 on the f32 legs: on-chip B=512 A/B measured 17.4 -> 23.7
 # members/s (fresher Jacobians break the Newton-failure limit cycle).
+# call_chunks caps microbatches per executable invocation BELOW the
+# runtime's long-invocation kill limit (~several hundred seconds):
+# measured for the df32 leg, 2x512 in one call = 111 s -> 9.18
+# members/s vs 7.2 for two single-512 calls (pure invocation-overhead
+# amortization); 3-4 chunks (~220+ s/call) would court the kill limit
+# (the f64 leg's 156 s calls survive, 300+ s calls crash, r2 data).
 LEGS = {
     "f32": dict(x64="0", rtol=1e-5, atol=1e-7, max_steps=768,
                 newton_iters=5, kw={"j_every": 8}),
-    "f32x": dict(x64="1", rtol=1e-6, atol=1e-9, max_steps=768,
-                 newton_iters=5,
-                 kw={"j_every": 8, "accurate_rates": True,
+    "f32x": dict(x64="0", rtol=7e-7, atol=1e-9, max_steps=768,
+                 newton_iters=5, call_chunks=2,
+                 kw={"j_every": 8, "accurate_rates": "df32",
                      "exact_solve": True}),
     "f64": dict(x64="1", rtol=1e-7, atol=1e-10, max_steps=768,
                 newton_iters=6, kw={}),
@@ -137,7 +148,8 @@ def child_tput(leg_name, b, n_chunks):
     import jax.numpy as jnp
 
     leg = LEGS[leg_name]
-    k_call = max(int(os.environ.get("RMT_BENCH_CALL_CHUNKS", "4")), 1)
+    k_call = max(int(os.environ.get(
+        "RMT_BENCH_CALL_CHUNKS", str(leg.get("call_chunks", 4)))), 1)
 
     def run_once(n_here):
         return _run_ensemble(
@@ -197,13 +209,14 @@ def _leg_throughput(leg_name, t_ref):
     worker; the next candidate runs in a fresh subprocess after a
     recovery pause). Returns {members_per_sec, vs_baseline, B} or None."""
     leg = LEGS[leg_name]
-    default_chunk = {"f64": "256", "f32x": "2048"}.get(leg_name, "4096")
+    default_chunk = {"f64": "256", "f32x": "512"}.get(leg_name, "4096")
     # f32: B=4096 fits in ONE device-resident batch since the fused Pallas
     # NS kernel removed the stacked XLA intermediates. f64: the integrator
     # state is 2x and the x64 scan-of-pallas path kernel-faults at
     # microbatch 512 (measured); 256 is the verified ceiling. f32x: block
-    # mode carries no NS preconditioner state (lighter than f32) but the
-    # f64 kinetics intermediates are untested at 4096 -- start at 2048.
+    # mode is lighter than NS (no preconditioner state) but at ~4
+    # members/s a bigger unit would push one invocation past the
+    # runtime's kill limit -- 512/call (~130 s) is the safe unit.
     chunk_max = int(os.environ.get("RMT_BENCH_CHUNK", default_chunk))
     candidates = sorted(
         {c for c in (min(B, chunk_max), 2048, 1024, 256, 64)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..constants import R_CONST
 from ..ops import accurate_math as _am
+from ..ops import df32 as _df
 
 # TPU XLA's f32 exp/log/pow are ~1e-5-accurate fast approximations; the
 # compensated f32 implementations in ops/accurate_math recover ~IEEE
@@ -47,17 +48,24 @@ class _MathShim(types.ModuleType):
 
     @staticmethod
     def exp(x):
+        if isinstance(x, _df.DF32):
+            return _df.exp(x)
         return _am.exp(x) if _ACCURATE_F32 else jnp.exp(x)
 
     @staticmethod
     def log(x, base=None):
-        lg = _am.log if _ACCURATE_F32 else jnp.log
+        if isinstance(x, _df.DF32):
+            lg = _df.log
+        else:
+            lg = _am.log if _ACCURATE_F32 else jnp.log
         if base is None:
             return lg(x)
         return lg(x) / lg(base)
 
     @staticmethod
     def log10(x):
+        if isinstance(x, _df.DF32):
+            return _df.log10(x)
         return _am.log10(x) if _ACCURATE_F32 else jnp.log10(x)
 
     @staticmethod
@@ -66,10 +74,14 @@ class _MathShim(types.ModuleType):
 
     @staticmethod
     def sqrt(x):
+        if isinstance(x, _df.DF32):
+            return _df.sqrt(x)
         return jnp.sqrt(x)
 
     @staticmethod
     def pow(x, y):
+        if isinstance(x, _df.DF32) or isinstance(y, _df.DF32):
+            return _df.pow(x, y)
         return _am.pow(x, y) if _ACCURATE_F32 else jnp.power(x, y)
 
     @staticmethod
@@ -186,6 +198,11 @@ class RateProgram:
                 rates.append(overrides[name])
             else:
                 rates.append(fn(x))
+        if any(isinstance(r, _df.DF32) for r in rates):
+            # compensated (double-f32) evaluation: keep the pair so the
+            # caller's nu@R cancellation resolves before the one final
+            # rounding (ops/df32.py rationale)
+            return _df.DF32.stack(rates)
         return jnp.stack([jnp.asarray(r) for r in rates])
 
 

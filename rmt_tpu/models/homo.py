@@ -28,6 +28,7 @@ from ..constants import EPS_CONST, PI_CONST, R_CONST, Tref
 from ..data import species as DB
 from ..kinetics.dsl import RateProgram
 from ..kinetics.stoich import Stoichiometry
+from ..ops import df32 as _df32
 from ..props import thermo, transport
 
 ISO_THERMAL = "iso-thermal"
@@ -280,6 +281,13 @@ def make_n2_rhs(spec: HomoSpec, frozen_pressure_jac: bool = False,
     floor. Resolving just this chain in (TPU-emulated) f64 is cheap: it
     is a per-node elementwise scalar program plus a (n_rxn x n_comp)
     matvec, a tiny fraction of the RHS flops.
+
+    accurate_rates="df32" resolves the same cancellation in compensated
+    double-float32 pairs (ops/df32.py) instead of float64: pure f32
+    VPU arithmetic, so it needs NO x64 process and none of the RHS runs
+    in TPU-emulated float64. Rates agree with the f64 chain to ~5e-12
+    relative (tests/test_df32.py); the only piece left at plain-f32
+    quality is the reaction energetics (benign cp polynomials).
     """
     idx = spec.comp_idx
     n_comp = spec.n_comp
@@ -287,10 +295,12 @@ def make_n2_rhs(spec: HomoSpec, frozen_pressure_jac: bool = False,
     nu_comp = jnp.asarray(spec.stoich.nu_comp)
     var_no = spec.var_no_n2
     dz = 1.0 / (z_no - 1)
-    if accurate_rates and not config.x64_enabled():
+    df32_mode = accurate_rates == "df32"
+    if accurate_rates and not df32_mode and not config.x64_enabled():
         raise ValueError(
             "accurate_rates needs an x64-enabled process (RMT_TPU_X64=1) "
-            "so float64 exists for the kinetics chain"
+            "so float64 exists for the kinetics chain; accurate_rates="
+            "'df32' provides the compensated chain without x64"
         )
 
     def rhs(t, y, p, d):
@@ -344,27 +354,55 @@ def make_n2_rhs(spec: HomoSpec, frozen_pressure_jac: bool = False,
         ga_de_eos = P_z / rg_t
         ga_de_dl = ga_de_eos / d["GaDe0"]
 
-        # kinetics batched over the axial nodes (in f64 under
-        # accurate_rates: the nu@R cancellation near equilibrium amplifies
-        # rate rounding ~10^3x, see the docstring)
-        hi = jnp.float64 if accurate_rates else T_re.dtype
-        rate_fn = lambda T_, P_, mf_, sc_: spec.rates(
-            T_, P_, mf_, sc_, p["kinetic_overrides"]
-        )
-        r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1, 1), out_axes=1)(
-            T_re.astype(hi), P_z.astype(hi), mo_fri.astype(hi),
-            co_spi_re.astype(hi)
-        )                                               # (n_rxn, zNo)
-        ri = jnp.einsum(
-            "mk,mz->kz", nu_comp.astype(hi), r0
-        ).astype(y.dtype)                               # (n_comp, zNo)
+        # kinetics batched over the axial nodes. Under accurate_rates the
+        # chain resolves the nu@R cancellation (which amplifies rate
+        # rounding ~10^3x near equilibrium, see the docstring) before the
+        # single final rounding -- in float64 (accurate_rates=True, x64
+        # process) or in compensated double-float32 pairs
+        # (accurate_rates="df32", pure-f32 ops; ops/df32.py).
+        if df32_mode:
+            r0_df = spec.rates(
+                _df32.DF32.from_value(T_re), _df32.DF32.from_value(P_z),
+                _df32.DF32.from_value(mo_fri),
+                _df32.DF32.from_value(co_spi_re), p["kinetic_overrides"]
+            )                                           # DF32 (n_rxn, zNo)
+            nu32 = nu_comp.astype(jnp.float32)
+            ri_df = None                                # nu^T @ r0, pairs
+            for m in range(nu32.shape[0]):
+                term = r0_df[m] * nu32[m][:, None]      # DF32 (n_comp, zNo)
+                ri_df = term if ri_df is None else ri_df + term
+            ri = ri_df.value(y.dtype)
+            r0 = None                                   # pairs consumed below
+        else:
+            hi = jnp.float64 if accurate_rates else T_re.dtype
+            rate_fn = lambda T_, P_, mf_, sc_: spec.rates(
+                T_, P_, mf_, sc_, p["kinetic_overrides"]
+            )
+            r0 = jax.vmap(rate_fn, in_axes=(0, 0, 1, 1), out_axes=1)(
+                T_re.astype(hi), P_z.astype(hi), mo_fri.astype(hi),
+                co_spi_re.astype(hi)
+            )                                           # (n_rxn, zNo)
+            ri = jnp.einsum(
+                "mk,mz->kz", nu_comp.astype(hi), r0
+            ).astype(y.dtype)                           # (n_comp, zNo)
 
         cp_mean_i = thermo.cp_mean(T_re, idx)           # (zNo, n_comp)
         cp_mix = jnp.sum(mo_fri.T * cp_mean_i, axis=-1)
         cp_mix_dl = cp_mix / d["GaCpMeanMix0"]
         cp_mix_eff_dl = cp_mix_dl * eps
-        he_re_t = _reaction_energetics(spec, T_re.astype(hi))  # (zNo, n_rxn)
-        ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1).astype(y.dtype)
+        if df32_mode:
+            # energetics stay plain f32 (benign polynomials); the r0-
+            # weighted sum keeps the rate pairs so no re-rounding enters
+            he_re_t = _reaction_energetics(spec, T_re)  # (zNo, n_rxn)
+            he32 = he_re_t.astype(jnp.float32)
+            ov_df = None
+            for m in range(nu32.shape[0]):
+                term = r0_df[m] * he32[:, m]            # DF32 (zNo,)
+                ov_df = term if ov_df is None else ov_df + term
+            ov_he_re_t = ov_df.value(y.dtype)
+        else:
+            he_re_t = _reaction_energetics(spec, T_re.astype(hi))
+            ov_he_re_t = jnp.sum(r0.T * he_re_t, axis=-1).astype(y.dtype)
         qm = _heat_exchange(p["Tm"], T_re, p["U"], d["aEff"])
 
         const_f1 = 1 / (eps * (d["zf"] / d["vf"]))

@@ -161,6 +161,12 @@ def run_n2_ensemble_lockstep(
     work is elementwise (measured ~free on this runtime); every matmul
     stays f32.
 
+    accurate_rates="df32" resolves the same kinetics cancellation in
+    compensated double-float32 pairs (ops/df32.py): pure f32 VPU
+    arithmetic, NO x64 process required, none of the program in
+    TPU-emulated float64. This is the throughput-accuracy choice for
+    the TPU north-star leg; rates match the f64 chain to ~5e-12.
+
     exact_solve=True solves the Radau stage systems EXACTLY via the MoL
     Jacobian's block-bidiagonal structure (ops.block_solve: batched
     (varNo x varNo) inversions + an associative scan over z) instead of
@@ -193,8 +199,11 @@ def run_n2_ensemble_lockstep(
     params, axes = batch_params(base, sweep)
 
     full_f64_rhs = accurate_rates == "full"
+    df32_mode = accurate_rates == "df32"
     rhs = homo.make_n2_rhs(
-        spec, accurate_rates=bool(accurate_rates) and not full_f64_rhs
+        spec, accurate_rates=(
+            "df32" if df32_mode
+            else bool(accurate_rates) and not full_f64_rhs)
     )
     jac_c = homo.make_n2_colored_jacobian(spec) if colored_jacobian else None
     if exact_solve:
@@ -202,7 +211,21 @@ def run_n2_ensemble_lockstep(
             raise ValueError("exact_solve requires colored_jacobian=True")
         solver_kwargs.setdefault("block", (spec.var_no_n2, spec.z_no))
 
-    if accurate_rates:
+    # "df32" resolves the kinetics cancellation in compensated f32 pairs
+    # (ops/df32.py) -- it needs NO x64 process; in a pure-f32 process it
+    # runs like the plain leg (no casting, no clamping needed). The
+    # x64-process machinery below still applies when tests/parity runs
+    # invoke it from an x64 process (spec tables are f64 there).
+    from .. import config as _config
+
+    hybrid_cast = bool(accurate_rates) and _config.x64_enabled()
+    if accurate_rates and not hybrid_cast and not df32_mode:
+        raise ValueError(
+            "accurate_rates needs an x64-enabled process "
+            "(RMT_TPU_X64=1) so float64 exists for the RHS; use "
+            "accurate_rates='df32' for the pure-f32 compensated chain"
+        )
+    if hybrid_cast:
         # hybrid mode: f32 integrator state inside an x64 process. Clamp
         # the RHS/Jacobian outputs back to f32 -- the x64 process makes
         # spec tables f64, and one uncast output would silently promote
@@ -210,13 +233,6 @@ def run_n2_ensemble_lockstep(
         # accurate_rates=True additionally casts parameters and feed
         # state to f32 so only the kinetics chain computes f64;
         # "full" leaves them f64 so promotion lifts the ENTIRE RHS.
-        from .. import config as _config
-
-        if not _config.x64_enabled():
-            raise ValueError(
-                "accurate_rates needs an x64-enabled process "
-                "(RMT_TPU_X64=1) so float64 exists for the RHS"
-            )
         # config.setup only forces true-f32 matmuls in x64=False mode; the
         # hybrid runs f32 states inside an x64 process, where TPU would
         # lower the integrator's default-precision f32 einsums (stage
@@ -248,7 +264,7 @@ def run_n2_ensemble_lockstep(
 
         dB, y0B = jax.vmap(derive, in_axes=(axes,))(params)
         ts = params["opT"] * jnp.linspace(0.0, 1.0, spec.t_no + 1)
-        if accurate_rates:
+        if hybrid_cast:
             y0B, ts = _to_f32((y0B, ts))
             if not full_f64_rhs:
                 dB = _to_f32(dB)

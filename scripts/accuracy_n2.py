@@ -46,9 +46,10 @@ def child(x64: bool, b: int, path: str):
     if os.environ.get("ACC_EXACT"):
         kw["exact_solve"] = True
     if os.environ.get("ACC_ACCURATE") and not x64:
-        # f32 leg, f64 kinetics chain ("1") or whole f64 RHS ("full")
+        # f32 leg, f64 kinetics chain ("1"), whole f64 RHS ("full"),
+        # or compensated double-f32 chain ("df32" -- pure f32 process)
         acc = os.environ["ACC_ACCURATE"]
-        kw["accurate_rates"] = "full" if acc == "full" else True
+        kw["accurate_rates"] = acc if acc in ("full", "df32") else True
     # ACC_CHILD_X64: run the "f32 leg" slot as plain f64 at the same
     # tolerances -- isolates the TRUNCATION component of the error at
     # bench tolerances from f32 evaluation/state noise
@@ -82,8 +83,10 @@ def main():
     outs = {}
     for mode in ("1", "0"):
         path = f"/tmp/acc_n2_{mode}.npy"
-        # accurate_rates needs float64 to exist in the f32 child's process
-        x64 = "1" if (mode == "1" or os.environ.get("ACC_ACCURATE")
+        # accurate_rates needs float64 in the f32 child's process --
+        # except the "df32" compensated chain, which is pure f32
+        x64 = "1" if (mode == "1"
+                      or os.environ.get("ACC_ACCURATE") not in (None, "df32")
                       or os.environ.get("ACC_CHILD_X64")) else "0"
         env = dict(os.environ, ACC_CHILD=f"{mode};{b};{path}",
                    RMT_TPU_X64=x64, JAX_PLATFORMS=os.environ.get(
