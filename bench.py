@@ -57,7 +57,7 @@ LEGS = {
     "f32": dict(x64="0", rtol=1e-5, atol=1e-7, max_steps=768,
                 newton_iters=5, kw={"j_every": 8}),
     "f32x": dict(x64="0", rtol=7e-7, atol=1e-9, max_steps=768,
-                 newton_iters=5, call_chunks=2,
+                 newton_iters=5, call_chunks=1,
                  kw={"j_every": 8, "accurate_rates": "df32",
                      "exact_solve": True}),
     "f64": dict(x64="1", rtol=1e-7, atol=1e-10, max_steps=768,
@@ -209,14 +209,16 @@ def _leg_throughput(leg_name, t_ref):
     worker; the next candidate runs in a fresh subprocess after a
     recovery pause). Returns {members_per_sec, vs_baseline, B} or None."""
     leg = LEGS[leg_name]
-    default_chunk = {"f64": "256", "f32x": "512"}.get(leg_name, "4096")
+    default_chunk = {"f64": "256", "f32x": "1024"}.get(leg_name, "4096")
     # f32: B=4096 fits in ONE device-resident batch since the fused Pallas
     # NS kernel removed the stacked XLA intermediates. f64: the integrator
     # state is 2x and the x64 scan-of-pallas path kernel-faults at
-    # microbatch 512 (measured); 256 is the verified ceiling. f32x: block
-    # mode is lighter than NS (no preconditioner state) but at ~4
-    # members/s a bigger unit would push one invocation past the
-    # runtime's kill limit -- 512/call (~130 s) is the safe unit.
+    # microbatch 512 (measured); 256 is the verified ceiling. f32x (Pallas
+    # block kernels): measured on-chip 1024/call = 91.5 s -> 11.19
+    # members/s vs 512/call 10.60 (fit: ~5 s fixed per invocation + ~84
+    # ms/member marginal); 2048/call (~180 s) would court the runtime's
+    # long-invocation kill limit, so 1024 is the unit and each call runs
+    # ONE batch (call_chunks=1).
     chunk_max = int(os.environ.get("RMT_BENCH_CHUNK", default_chunk))
     candidates = sorted(
         {c for c in (min(B, chunk_max), 2048, 1024, 256, 64)

@@ -439,6 +439,42 @@ def odeint_ensemble(
             raise ValueError(
                 f"block {block} does not tile the state size {n}"
             )
+        # fused Pallas path for the bidiagonal stage solves (member on
+        # the lane axis, factorization + recurrence in VMEM): the XLA
+        # formulation is hundreds of tiny 7x7 ops whose per-op overhead
+        # made block attempts ~3x an NS attempt on-chip. Same default
+        # as the NS kernel: on for the TPU backend, RMT_TPU_PALLAS=0
+        # reverts, interpreter mode only when explicitly requested.
+        _pallas_block = _pallas and not block_tridiag
+        if _pallas_block:
+            from ..ops import pallas_block as _pblock
+
+            _tir_s = tuple(map(tuple, Tinv_np.real))
+            _tii_s = tuple(map(tuple, Tinv_np.imag))
+            _tr_s = tuple(map(tuple, T_np.real))
+            _ti_s = tuple(map(tuple, T_np.imag))
+
+            def pb_apply(R, MinvR, MinvCr, MinvCi, Jl_t, h32b):
+                R_t = R.astype(f32).reshape(
+                    Bsz, 3, var_no_b, z_no_b
+                ).transpose(1, 2, 3, 0)
+                dK_t = _pblock.block_apply(
+                    R_t, MinvR, MinvCr, MinvCi, Jl_t, h32b,
+                    gamma=gamma, mu_r=mu_r, mu_i=mu_i,
+                    tir=_tir_s, tii=_tii_s, tr=_tr_s, ti=_ti_s,
+                    interpret=_pallas_interp,
+                )
+                return dK_t.transpose(3, 0, 1, 2).reshape(
+                    Bsz, 3, n
+                ).astype(dtype)
+
+            def pb_apply_real(e32, MinvR, Jl_t, h32b):
+                e_t = e32.reshape(Bsz, var_no_b, z_no_b).transpose(1, 2, 0)
+                x_t = _pblock.block_apply_real(
+                    e_t, MinvR, Jl_t, h32b, gamma=gamma,
+                    interpret=_pallas_interp,
+                )
+                return x_t.transpose(2, 0, 1).reshape(Bsz, n).astype(dtype)
 
         def to_blocks(x):       # (B, n) flat v*z -> (B, z, m)
             return x.reshape(Bsz, var_no_b, z_no_b).transpose(0, 2, 1)
@@ -497,8 +533,28 @@ def odeint_ensemble(
             # CURRENT h: factorization is batched (m x m) inversions --
             # cheap enough to do every attempt, so no warm-start state
             # exists. (Pr, Pcr) carry (Jd, Jl); Pci carries Ju in tridiag
-            # mode and is an unused placeholder otherwise.
-            solve_real, solve_cplx = make_block_solvers(h_eff, Pr, Pcr, Pci)
+            # mode and is an unused placeholder otherwise. On the pallas
+            # path the carried blocks are member-last (z, m, m, B).
+            if _pallas_block:
+                h32b = h_eff.astype(f32)
+                MinvR, MinvCr, MinvCi = _pblock.block_factor(
+                    Pr, h32b, gamma=gamma, mu_r=mu_r, mu_i=mu_i,
+                    interpret=_pallas_interp,
+                )
+                solve_stages = lambda R: pb_apply(
+                    R, MinvR, MinvCr, MinvCi, Pcr, h32b
+                )
+                solve_err = lambda e32: pb_apply_real(e32, MinvR, Pcr, h32b)
+            else:
+                solve_real, solve_cplx = make_block_solvers(
+                    h_eff, Pr, Pcr, Pci
+                )
+                solve_stages = lambda R: apply_block(
+                    R, solve_real, solve_cplx
+                )
+                solve_err = lambda e32: from_blocks(
+                    solve_real(to_blocks(e32))
+                ).astype(dtype)
             rho = jnp.zeros((Bsz,), f32)
         else:
             # warm preconditioner maintenance every attempt (h drift <= 1.4x)
@@ -542,7 +598,7 @@ def odeint_ensemble(
             )
             rn_new = jnp.where(jnp.isfinite(rn_new), rn_new, jnp.inf)
             if block is not None:
-                dK = apply_block(R, solve_real, solve_cplx)
+                dK = solve_stages(R)
             else:
                 dK = solve(R, h_eff, J64, Pr, Pcr, Pci)
             K_new = K + jnp.where(done[:, None, None], 0.0, dK)
@@ -594,7 +650,7 @@ def odeint_ensemble(
         )
         e32 = err_raw.astype(f32)
         if block is not None:
-            err_s = from_blocks(solve_real(to_blocks(e32))).astype(dtype)
+            err_s = solve_err(e32)
         else:
             err_s32 = jnp.einsum("bnm,bm->bn", Pr, e32, precision=_HI)
             r_e = e32 - (
@@ -724,6 +780,10 @@ def odeint_ensemble(
             else:
                 Jd, Jl = _bs.extract_bidiag_blocks(J, var_no_b, z_no_b)
                 Ju = Pci
+                if _pallas_block:
+                    # member-last layout for the lane-axis kernels
+                    Jd = Jd.transpose(1, 2, 3, 0)
+                    Jl = Jl.transpose(1, 2, 3, 0)
             st = st._replace(n_jev=st.n_jev + 1)
             state = (t, y, yc, fval, h, J, Jd, Jl, Ju, seg, out, st,
                      Kp, hp, pv, hbar)
@@ -799,6 +859,9 @@ def odeint_ensemble(
             P1_0, P2_0, P3_0 = Jd0, Jl0, Ju0
         else:
             Jd0, Jl0 = _bs.extract_bidiag_blocks(J0, var_no_b, z_no_b)
+            if _pallas_block:
+                Jd0 = Jd0.transpose(1, 2, 3, 0)
+                Jl0 = Jl0.transpose(1, 2, 3, 0)
             P1_0, P2_0, P3_0 = Jd0, Jl0, jnp.zeros((Bsz, 1, 1), f32)
     else:
         eyeB = jnp.tile(jnp.eye(n, dtype=f32)[None], (Bsz, 1, 1))
