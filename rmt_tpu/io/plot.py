@@ -40,20 +40,44 @@ def plot_results_steady_state(data_pack) -> None:
     plt.show()
 
 
-def plot_results_dynamic(res_pack, t_no: int) -> None:
-    plt = _plt()
+def select_random_for_list(items, n):
+    """n distinct random picks (reference solResultAnalysis.py
+    selectRandomForList semantics: sampling without replacement)."""
+    import random
+
+    n = min(n, len(items))
+    return random.sample(list(items), n)
+
+
+def plot_results_dynamic(res_pack, t_no: int, n_slices: int = 2) -> None:
+    """Reference plotResultsDynamic semantics
+    (solResultAnalysis.py:373-459): pick `n_slices` RANDOM time
+    intervals from the dataPack, and for each successful one draw the
+    concentration series and (non-isothermal only) the temperature
+    series as separate figures, titled with the interval's dataTime."""
+    elapsed = res_pack.get("computation-time")
     data_pack = res_pack["dataPack"]
-    fig, ax = plt.subplots(figsize=(8, 4))
-    for pack in data_pack:
+    first = data_pack[0]
+    model_id = first.get("modelId", "")
+    process_type = first.get("processType", "")
+    labels = first["labelList"]
+    n_comp, _idx_p, idx_t = first["indexList"][:3]
+    base_title = f"Dynamic Modeling {model_id}, computation-time {elapsed}"
+
+    for i in select_random_for_list(range(min(t_no, len(data_pack))),
+                                    n_slices):
+        pack = data_pack[i]
+        if pack.get("successStatus") is not True:
+            continue
         xs = np.asarray(pack["dataXs"])
         ys = np.asarray(pack["dataYs"])
-        n_comp = pack["indexList"][0]
-        for i in range(n_comp):
-            ax.plot(xs, ys[i], alpha=0.6)
-    ax.set_xlabel("dimensionless reactor length")
-    ax.set_ylabel("mole fraction")
-    fig.tight_layout()
-    plt.show()
+        title = base_title + f" at t={pack.get('dataTime')}"
+        series = plots2DSetDataList(plots2DSetXYList(xs, ys), labels)
+        plots2D(series[0:n_comp], "Reactor Length (m)",
+                "Concentration (mol/$m^3$)", title)
+        if process_type != "iso-thermal" and idx_t < len(series):
+            plots2D([series[idx_t]], "Reactor Length (m)",
+                    "Temperature (K)", title)
 
 
 def plot_xy_series(data_list, x_label, y_label, title=""):

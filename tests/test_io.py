@@ -50,17 +50,26 @@ def test_plot_functions_render(monkeypatch, tmp_path):
 
     xs = np.linspace(0, 1, 11)
     pack = {
+        "modelId": "N2",
+        "processType": "non-iso-thermal",
+        "successStatus": True,
+        "dataTime": 0.1,
         "dataXs": xs,
         "dataYs": np.vstack([xs, 1 - xs, 500 + xs]),
         "labelList": ["A", "B", "T"],
         "indexList": [2, 3, 2],
     }
     io_plot.plot_results_steady_state([pack])
-    io_plot.plot_results_dynamic({"dataPack": [pack, pack]}, t_no=2)
+    # dynamic plotting draws 2 random slices x (concentration +
+    # temperature) figures = 4 shows (reference plotResultsDynamic
+    # semantics, solResultAnalysis.py:373-459)
+    io_plot.plot_results_dynamic(
+        {"computation-time": 1.0, "dataPack": [pack, pack]}, t_no=2
+    )
     io_plot.plot_xy_series(
         [{"x": xs, "y": xs**2, "leg": "sq"}], "x", "y", title="t"
     )
-    assert len(shown) == 3
+    assert len(shown) == 6
     plt.close("all")
 
 
