@@ -445,6 +445,158 @@ def make_n2_colored_jacobian(spec: HomoSpec):
     )
 
 
+def make_n2_rhs_b(spec: HomoSpec, frozen_pressure_jac: bool = False,
+                  accurate_rates=False):
+    """Natively BATCHED N2 RHS with a member-LAST internal layout.
+
+    Same math as make_n2_rhs (modelEquationN2 semantics, quirks
+    included), but rhs_b(t (B,), y (B, n), p, d) takes p/d leaves
+    pre-broadcast to a leading member axis and computes everything on
+    member-last arrays: Y (var, z, B), kinetics on (z, B) / (nc, z, B).
+
+    Motivation (measured on the tunneled v5e, scripts/
+    attempt_cost_matrix.py): under vmap the per-node arrays are
+    (B, zNo) = (512, 20), whose TPU tiling uses 20 of 128 lanes -- every
+    elementwise op in the long kinetics chain (and every op of the df32
+    compensated chain, ~3000 f32 primitives) pays a ~6x tile-padding
+    penalty. Member-last puts B on the lane axis, so the same chain runs
+    at full VPU width; per-member parameters broadcast naturally against
+    the trailing axis. Only accurate_rates in (False, "df32") is
+    supported (the x64-hybrid legs keep the vmapped path).
+    """
+    if accurate_rates not in (False, "df32"):
+        raise ValueError(
+            "make_n2_rhs_b supports accurate_rates False or 'df32' only"
+        )
+    idx = spec.comp_idx
+    n_comp = spec.n_comp
+    z_no = spec.z_no
+    nu_comp = jnp.asarray(spec.stoich.nu_comp)
+    var_no = spec.var_no_n2
+    dz = 1.0 / (z_no - 1)
+    df32_mode = accurate_rates == "df32"
+
+    def rhs(t, y, p, d):
+        Bsz = y.shape[0]
+        Y = y.reshape(Bsz, var_no, z_no).transpose(1, 2, 0)  # (var, z, B)
+        c_raw = Y[:n_comp]                              # (nc, z, B)
+        c_clamped = jnp.maximum(c_raw, EPS_CONST)
+        T_dl = (Y[n_comp] if not spec.iso_thermal
+                else jnp.zeros((z_no, Bsz), y.dtype))   # (z, B)
+
+        co_spi_re = c_clamped * d["Cmax"]               # (nc, z, B)*(B,)
+        T_re = T_dl * p["T0"] + p["T0"]                 # (z, B)
+        mo_fri = co_spi_re / jnp.sum(co_spi_re, axis=0, keepdims=True)
+        mw_t = d["mw"].T                                # (nc, B)
+        mi_mo_we = jnp.sum(mo_fri * mw_t[:, None, :], axis=0) * 1e-3
+
+        su_ga_ve = d["SuGaVe0"]                         # (B,)
+        v_dl = su_ga_ve / d["vf"]
+        in_ga_ve_dl = (su_ga_ve / p["BeVoFr"]) / d["InGaVe0"]
+
+        eps = p["BeVoFr"]
+        erg_a = 150 * d["GaMiVi"] * su_ga_ve / p["PaDi"] ** 2
+        erg_b = (1 - eps) ** 2 / eps**3
+        erg_c_coef = 1.75 * su_ga_ve**2 / p["PaDi"]
+        erg_d = (1 - eps) / eps**3
+        rg_t = (R_CONST / mi_mo_we) * T_re              # (z, B)
+        if frozen_pressure_jac:
+            rg_t = jax.lax.stop_gradient(rg_t)
+
+        # closed-form affine pressure march (see make_n2_rhs), z axis 0
+        a_co = 1.0 - (erg_c_coef * erg_d / rg_t) * dz   # (z, B)
+        b_co = -(erg_a * erg_b) * dz                    # (B,)
+        A_cum = jnp.concatenate(
+            [jnp.ones((1, Bsz), a_co.dtype), jnp.cumprod(a_co[:-1], axis=0)]
+        )
+        D = b_co / (A_cum * a_co)
+        S = jnp.concatenate(
+            [jnp.zeros((1, Bsz), a_co.dtype), jnp.cumsum(D[:-1], axis=0)]
+        )
+        P_z = A_cum * (p["P0"] + S)                     # (z, B)
+
+        ga_de_eos = P_z / rg_t
+        ga_de_dl = ga_de_eos / d["GaDe0"]
+
+        if df32_mode:
+            r0_df = spec.rates(
+                _df32.DF32.from_value(T_re), _df32.DF32.from_value(P_z),
+                _df32.DF32.from_value(mo_fri),
+                _df32.DF32.from_value(co_spi_re), p["kinetic_overrides"]
+            )                                           # DF32 (n_rxn, z, B)
+            nu32 = nu_comp.astype(jnp.float32)
+            ri_df = None
+            for m in range(nu32.shape[0]):
+                term = r0_df[m] * nu32[m][:, None, None]
+                ri_df = term if ri_df is None else ri_df + term
+            ri = ri_df.value(y.dtype)                   # (nc, z, B)
+        else:
+            r0 = spec.rates(
+                T_re, P_z, mo_fri, co_spi_re, p["kinetic_overrides"]
+            )                                           # (n_rxn, z, B)
+            ri = jnp.sum(
+                nu_comp[:, :, None, None] * r0[:, None], axis=0
+            ).astype(y.dtype)                           # (nc, z, B)
+
+        cp_mean_i = thermo.cp_mean(T_re, idx)           # (z, B, nc)
+        cp_i_t = jnp.moveaxis(cp_mean_i, -1, 0)         # (nc, z, B)
+        cp_mix = jnp.sum(mo_fri * cp_i_t, axis=0)       # (z, B)
+        cp_mix_dl = cp_mix / d["GaCpMeanMix0"]
+        cp_mix_eff_dl = cp_mix_dl * eps
+        he_re_t = _reaction_energetics(spec, T_re)      # (z, B, n_rxn)
+        he_t = jnp.moveaxis(he_re_t, -1, 0)             # (n_rxn, z, B)
+        if df32_mode:
+            he32 = he_t.astype(jnp.float32)
+            ov_df = None
+            for m in range(nu32.shape[0]):
+                term = r0_df[m] * he32[m]
+                ov_df = term if ov_df is None else ov_df + term
+            ov_he_re_t = ov_df.value(y.dtype)           # (z, B)
+        else:
+            ov_he_re_t = jnp.sum(r0 * he_t, axis=0).astype(y.dtype)
+        qm = _heat_exchange(p["Tm"], T_re, p["U"], d["aEff"])
+
+        const_f1 = 1 / (eps * (d["zf"] / d["vf"]))      # (B,)
+        const_t2 = 1 / (ga_de_dl * cp_mix_dl * eps * (d["zf"] / d["vf"]))
+
+        c_in = (p["SpCoi0"] / d["Cmax"][:, None]).T[:, None, :]  # (nc,1,B)
+        c_back = jnp.concatenate([c_in, c_clamped[:, :-1]], axis=1)
+        dcdz = (c_raw - c_back) / dz
+        dxdt_c = const_f1 * (-v_dl * dcdz + ri / d["GaMaCoTe0"])
+
+        rows = [dxdt_c]
+        if not spec.iso_thermal:
+            t_back = jnp.concatenate(
+                [jnp.zeros((1, Bsz), T_dl.dtype), T_dl[:-1]], axis=0
+            )
+            dtdz = (T_dl - t_back) / dz
+            convective = -in_ga_ve_dl * ga_de_dl * cp_mix_eff_dl * dtdz
+            formation = -ov_he_re_t / d["GaHeCoTe0"]
+            exchange = qm / d["GaHeCoTe0"]
+            dxdt_t = const_t2 * (convective + formation + exchange)
+            rows.append(dxdt_t[None])
+
+        out = jnp.concatenate(rows, axis=0)             # (var, z, B)
+        return out.transpose(2, 0, 1).reshape(Bsz, -1)
+
+    return rhs
+
+
+def make_n2_colored_jacobian_b(spec: HomoSpec):
+    """Batched colored Jacobian (B, n, n) through the member-last RHS:
+    2*varNo JVP tangents tiled across the batch (members never mix)."""
+    from ..ops.jacobian import banded_coloring, batched_colored_jacobian
+
+    rhs_b = make_n2_rhs_b(spec, frozen_pressure_jac=True)
+    coloring = banded_coloring(spec.var_no_n2, spec.z_no)
+
+    def jac(t, y, p, d):
+        fB = lambda yy: rhs_b(t, yy, p, d)
+        return batched_colored_jacobian(fB, coloring)(y)
+
+    return jac
+
+
 # ---------------------------------------------------------------------------
 # T3: steady axial-dispersion pseudo-homogeneous model, posed as a nonlinear
 # root problem F(y) = 0 and solved by damped Newton.

@@ -136,6 +136,7 @@ def run_n2_ensemble_lockstep(
     microbatch: int | None = None,
     exact_solve: bool = False,
     accurate_rates: bool | str = False,
+    batched_rhs: bool | None = None,
     **solver_kwargs,
 ):
     """N2 dynamic ensemble on the TPU-native lockstep integrator.
@@ -178,6 +179,15 @@ def run_n2_ensemble_lockstep(
     preconditioners, colored (block-bidiagonal) Jacobians, per-member step
     control. The operating period may not be swept (the output grid is
     shared across members).
+
+    batched_rhs=True evaluates the RHS (and its colored Jacobian)
+    through homo.make_n2_rhs_b -- a natively batched, member-LAST
+    implementation where the kinetics chain runs on (z, B) arrays with
+    the member axis on the TPU lane dimension (full VPU width) instead
+    of the vmapped (B, z) layout that uses 20 of 128 lanes. Same math,
+    quirks included. Default None = on for the TPU backend when the
+    mode supports it (plain f32 or "df32"; the x64-hybrid legs keep the
+    vmapped path), off elsewhere.
 
     microbatch=K splits the ensemble into B/K sequential microbatches
     INSIDE one compiled call (lax.scan over reshaped sweep leaves). Two
@@ -257,6 +267,59 @@ def run_n2_ensemble_lockstep(
         if jac_raw is not None:
             jac_c = lambda t, y, p, d: jac_raw(t, y, p, d).astype(f32)
 
+    if batched_rhs is None:
+        # measured on-chip (scripts/attempt_cost_matrix.py, B=512): the
+        # member-last RHS is NET SLOWER on the tunneled v5e -- the per-eval
+        # boundary transposes (y (B,n) <-> (var,z,B)) cost more than the
+        # lane-padding they save (block+df32 342 -> 530 ms/attempt,
+        # ns+plain ~flat 43 -> 48). Default OFF everywhere; the option
+        # stays for hardware where relayouts are cheap.
+        use_batched = False
+    else:
+        use_batched = bool(batched_rhs)
+        if use_batched and hybrid_cast and not df32_mode:
+            raise ValueError(
+                "batched_rhs supports plain f32 or accurate_rates='df32' "
+                "only (the x64-hybrid legs keep the vmapped path)"
+            )
+    if use_batched:
+        rhs_b_raw = homo.make_n2_rhs_b(
+            spec, accurate_rates="df32" if df32_mode else False
+        )
+        jac_b_raw = (homo.make_n2_colored_jacobian_b(spec)
+                     if colored_jacobian else None)
+        if hybrid_cast:
+            # df32 in an x64 process (tests/parity runs): same clamping
+            # as the vmapped path -- outputs back to f32 so one f64 leaf
+            # cannot promote the integrator
+            rhs_b = lambda t, y, p, d: rhs_b_raw(t, y, p, d).astype(
+                jnp.float32)
+            jac_b = (None if jac_b_raw is None else
+                     lambda t, y, p, d: jac_b_raw(t, y, p, d).astype(
+                         jnp.float32))
+        else:
+            rhs_b, jac_b = rhs_b_raw, jac_b_raw
+
+    def _broadcast_params(params, Bsz):
+        """Give every non-swept leaf a leading member axis (member-last
+        internals broadcast per-member scalars on the TRAILING axis, so
+        the batched RHS wants uniformly (B, ...) parameters)."""
+        out = {}
+        for key, val in params.items():
+            if key == "kinetic_overrides":
+                out[key] = {
+                    kk: (vv if axes[key][kk] == 0 else jnp.broadcast_to(
+                        jnp.asarray(vv)[None],
+                        (Bsz,) + jnp.asarray(vv).shape))
+                    for kk, vv in val.items()
+                }
+            elif axes[key] == 0:
+                out[key] = val
+            else:
+                arr = jnp.asarray(val)
+                out[key] = jnp.broadcast_to(arr[None], (Bsz,) + arr.shape)
+        return out
+
     def run(params):
         def derive(q):
             d = homo.feed_state(spec, q)
@@ -268,6 +331,16 @@ def run_n2_ensemble_lockstep(
             y0B, ts = _to_f32((y0B, ts))
             if not full_f64_rhs:
                 dB = _to_f32(dB)
+
+        if use_batched:
+            pB = _broadcast_params(params, y0B.shape[0])
+            f_batched = lambda t, y: rhs_b(t, y, pB, dB)
+            jac_batched = ((lambda t, y: jac_b(t, y, pB, dB))
+                           if jac_b is not None else None)
+            return stiff_ensemble.odeint_ensemble(
+                f_batched, y0B, ts, rtol=rtol, atol=atol,
+                jac=jac_batched, batched=True, **solver_kwargs,
+            )
 
         fB = jax.vmap(rhs, in_axes=(0, 0, axes, 0))
 
