@@ -445,6 +445,19 @@ def make_n2_colored_jacobian(spec: HomoSpec):
     )
 
 
+def make_n2_bidiag_blocks(spec: HomoSpec):
+    """Per-member (Jd, Jl) block Jacobian of the N2 RHS, gathered
+    directly from the colored JVP products (ops.jacobian.
+    colored_bidiag_blocks) -- never forms the dense (n, n) matrix. Same
+    values as extract_bidiag_blocks(make_n2_colored_jacobian(...))."""
+    from ..ops.jacobian import colored_bidiag_blocks
+
+    return colored_bidiag_blocks(
+        make_n2_rhs(spec, frozen_pressure_jac=True), spec.var_no_n2,
+        spec.z_no
+    )
+
+
 def make_n2_rhs_b(spec: HomoSpec, frozen_pressure_jac: bool = False,
                   accurate_rates=False):
     """Natively BATCHED N2 RHS with a member-LAST internal layout.

@@ -121,6 +121,45 @@ def batched_colored_jacobian(fB, coloring):
     return jac
 
 
+def colored_bidiag_blocks(rhs_flat, var_no: int, z_no: int):
+    """jac_blocks(t, y, *args) -> (Jd, Jl), each (z_no, var_no, var_no),
+    gathered DIRECTLY from the 2*var_no colored JVP products.
+
+    Skips the dense (n, n) reconstruction entirely: on the TPU runtime
+    the dense build (gather -> (n, B, n) transpose -> mask multiply)
+    plus the block re-extraction dominated the block-mode Jacobian
+    refresh (measured ~0.6-0.8 s per refresh at B=512 under vmap).
+    Jd[z] couples node z to itself, Jl[z] couples node z to z-1
+    (Jl[0] = 0) -- identical values to
+    block_solve.extract_bidiag_blocks(dense colored J)."""
+    colors, V, _ = banded_coloring(var_no, z_no)
+    V_j = jnp.asarray(V)
+    z = np.arange(z_no)
+    v = np.arange(var_no)
+    # jv[c, r] = J[r, any column of color c hitting row r]
+    # row index of output (vi, z); color of input column (vj, z) / (vj, z-1)
+    row_d = (v[None, :, None] * z_no + z[:, None, None])     # (z, m, 1)
+    col_d = (v[None, None, :] * 2 + (z[:, None, None] % 2))  # (z, 1, m)
+    col_l = (v[None, None, :] * 2 + ((z[:, None, None] - 1) % 2))
+    row_d, col_d, col_l = (
+        np.broadcast_to(a, (z_no, var_no, var_no)).copy()
+        for a in (row_d, col_d, col_l)
+    )
+    zero_first = np.ones((z_no, 1, 1))
+    zero_first[0] = 0.0
+
+    def jac_blocks(t, y, *args):
+        fun = lambda yy: rhs_flat(t, yy, *args)
+        jv = jax.vmap(lambda tangent: jax.jvp(fun, (y,), (tangent,))[1])(
+            V_j.astype(y.dtype)
+        )                                           # (n_colors, n)
+        Jd = jv[col_d, row_d]                       # (z, m, m)
+        Jl = jv[col_l, row_d] * jnp.asarray(zero_first, y.dtype)
+        return Jd, Jl
+
+    return jac_blocks
+
+
 def colored_jacobian(rhs_flat, var_no: int, z_no: int):
     """Build jac(t, y, *args) -> (n, n) from 2*var_no JVPs of rhs_flat.
 

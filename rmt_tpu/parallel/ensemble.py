@@ -216,10 +216,15 @@ def run_n2_ensemble_lockstep(
             else bool(accurate_rates) and not full_f64_rhs)
     )
     jac_c = homo.make_n2_colored_jacobian(spec) if colored_jacobian else None
+    jac_bl = None
     if exact_solve:
         if not colored_jacobian:
             raise ValueError("exact_solve requires colored_jacobian=True")
         solver_kwargs.setdefault("block", (spec.var_no_n2, spec.z_no))
+        # block mode never needs the dense Jacobian: gather (Jd, Jl)
+        # straight from the colored JVPs (measured on-chip: the dense
+        # build + re-extraction owned most of the ~0.6-0.8 s refresh)
+        jac_bl = homo.make_n2_bidiag_blocks(spec)
 
     # "df32" resolves the kinetics cancellation in compensated f32 pairs
     # (ops/df32.py) -- it needs NO x64 process; in a pure-f32 process it
@@ -332,6 +337,12 @@ def run_n2_ensemble_lockstep(
             if not full_f64_rhs:
                 dB = _to_f32(dB)
 
+        if jac_bl is not None:
+            jblB = jax.vmap(jac_bl, in_axes=(0, 0, axes, 0))
+            jac_blocks_batched = lambda t, y: jblB(t, y, params, dB)
+        else:
+            jac_blocks_batched = None
+
         if use_batched:
             pB = _broadcast_params(params, y0B.shape[0])
             f_batched = lambda t, y: rhs_b(t, y, pB, dB)
@@ -339,7 +350,8 @@ def run_n2_ensemble_lockstep(
                            if jac_b is not None else None)
             return stiff_ensemble.odeint_ensemble(
                 f_batched, y0B, ts, rtol=rtol, atol=atol,
-                jac=jac_batched, batched=True, **solver_kwargs,
+                jac=jac_batched, batched=True,
+                jac_blocks=jac_blocks_batched, **solver_kwargs,
             )
 
         fB = jax.vmap(rhs, in_axes=(0, 0, axes, 0))
@@ -355,7 +367,8 @@ def run_n2_ensemble_lockstep(
 
         return stiff_ensemble.odeint_ensemble(
             f_batched, y0B, ts, rtol=rtol, atol=atol,
-            jac=jac_batched, batched=True, **solver_kwargs,
+            jac=jac_batched, batched=True,
+            jac_blocks=jac_blocks_batched, **solver_kwargs,
         )
 
     b_total = next(

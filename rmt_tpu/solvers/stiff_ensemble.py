@@ -109,7 +109,8 @@ def _cmatmul(ar, ai, br, bi):
 
 @partial(
     jax.jit,
-    static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18, 19),
+    static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18, 19,
+                    20),
 )
 def odeint_ensemble(
     f,
@@ -132,6 +133,7 @@ def odeint_ensemble(
     block=None,
     max_factor: float | None = None,
     theta_target: float | None = None,
+    jac_blocks=None,
 ):
     """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
 
@@ -158,6 +160,14 @@ def odeint_ensemble(
     Jacobians (central-difference axial dispersion couples z-1, z, z+1;
     the M13 gas phase). Solved exactly by block cyclic reduction
     (log2(z_no) levels of batched small matmuls, ops.block_solve).
+
+    jac_blocks (bidiagonal block mode only): batched callable
+    (t (B,), y (B,n)) -> (Jd, Jl), each (B, z_no, var_no, var_no) --
+    e.g. ops.jacobian.colored_bidiag_blocks vmapped. When given, the
+    dense (B, n, n) Jacobian is NEVER formed: refreshes gather the
+    blocks straight from the colored JVP products (the dense build +
+    re-extraction dominated the refresh cost on the TPU runtime) and
+    the carry holds a placeholder in the J slot.
     Returns (ys, stats) with ys of shape (n_out, B, n); ys[0] == y0.
     """
     if args is not None:
@@ -771,6 +781,18 @@ def odeint_ensemble(
         # recovers the step size immediately.
         hbar = jnp.full_like(hbar, jnp.inf)
         # refresh the Jacobian once per chunk; h grows <= 1.4^16 within it
+        if block is not None and not block_tridiag and jac_blocks is not None:
+            Jd, Jl = jac_blocks(t, y)
+            Jd, Jl = Jd.astype(f32), Jl.astype(f32)
+            Ju = Pci
+            if _pallas_block:
+                Jd = Jd.transpose(1, 2, 3, 0)
+                Jl = Jl.transpose(1, 2, 3, 0)
+            st = st._replace(n_jev=st.n_jev + 1)
+            state = (t, y, yc, fval, h, J, Jd, Jl, Ju, seg, out, st,
+                     Kp, hp, pv, hbar)
+            state, _ = lax.scan(attempt, state, None, length=chunk)
+            return state
         J = jacB(t, y).astype(f32)
         if block is not None:
             # block mode: carry the fresh (Jd, Jl[, Ju]) blocks; solvers
@@ -845,27 +867,49 @@ def odeint_ensemble(
 
     # --- initialization ---
     f0 = fB(jnp.full((Bsz,), ts[0], dtype), y0)
-    J0 = jacB(jnp.full((Bsz,), ts[0], dtype), y0).astype(f32)
-    # conservative first step: ||h*gamma*J|| << 1 so P0 = I is a valid
-    # Newton-Schulz seed
-    j_norm = jnp.max(jnp.sum(jnp.abs(J0), axis=-1), axis=-1).astype(dtype)  # (B,)
     span = ts[-1] - ts[0]
-    h0 = jnp.minimum(0.05 / (abs(gamma) * j_norm + 1e-30), 1e-3 * span)
-    if block is not None:
-        # block mode carries (Jd, Jl) in the Pr/Pcr slots and either Ju
-        # (tridiag) or a tiny placeholder where the NS mode keeps Pci
-        if block_tridiag:
-            Jd0, Jl0, Ju0 = _bs.extract_tridiag_blocks(J0, var_no_b, z_no_b)
-            P1_0, P2_0, P3_0 = Jd0, Jl0, Ju0
-        else:
-            Jd0, Jl0 = _bs.extract_bidiag_blocks(J0, var_no_b, z_no_b)
-            if _pallas_block:
-                Jd0 = Jd0.transpose(1, 2, 3, 0)
-                Jl0 = Jl0.transpose(1, 2, 3, 0)
-            P1_0, P2_0, P3_0 = Jd0, Jl0, jnp.zeros((Bsz, 1, 1), f32)
+    if block is not None and not block_tridiag and jac_blocks is not None:
+        # dense J is never formed in this mode; the carry holds a
+        # placeholder in its slot and h0 uses the block row sums
+        # (identical to the dense row sums: the row of (vi, z) is
+        # exactly |Jd[z, vi, :]| + |Jl[z, vi, :]|)
+        Jd0, Jl0 = jac_blocks(jnp.full((Bsz,), ts[0], dtype), y0)
+        Jd0, Jl0 = Jd0.astype(f32), Jl0.astype(f32)
+        row_sums = jnp.sum(jnp.abs(Jd0), axis=-1) + jnp.sum(
+            jnp.abs(Jl0), axis=-1
+        )                                               # (B, z, m)
+        j_norm = jnp.max(row_sums, axis=(-1, -2)).astype(dtype)
+        h0 = jnp.minimum(0.05 / (abs(gamma) * j_norm + 1e-30), 1e-3 * span)
+        J0 = jnp.zeros((Bsz, 1, 1), f32)
+        if _pallas_block:
+            Jd0 = Jd0.transpose(1, 2, 3, 0)
+            Jl0 = Jl0.transpose(1, 2, 3, 0)
+        P1_0, P2_0, P3_0 = Jd0, Jl0, jnp.zeros((Bsz, 1, 1), f32)
     else:
-        eyeB = jnp.tile(jnp.eye(n, dtype=f32)[None], (Bsz, 1, 1))
-        P1_0, P2_0, P3_0 = eyeB, eyeB, jnp.zeros_like(eyeB)
+        J0 = jacB(jnp.full((Bsz,), ts[0], dtype), y0).astype(f32)
+        # conservative first step: ||h*gamma*J|| << 1 so P0 = I is a valid
+        # Newton-Schulz seed
+        j_norm = jnp.max(
+            jnp.sum(jnp.abs(J0), axis=-1), axis=-1
+        ).astype(dtype)                                 # (B,)
+        h0 = jnp.minimum(0.05 / (abs(gamma) * j_norm + 1e-30), 1e-3 * span)
+        if block is not None:
+            # block mode carries (Jd, Jl) in the Pr/Pcr slots and either
+            # Ju (tridiag) or a tiny placeholder where NS keeps Pci
+            if block_tridiag:
+                Jd0, Jl0, Ju0 = _bs.extract_tridiag_blocks(
+                    J0, var_no_b, z_no_b
+                )
+                P1_0, P2_0, P3_0 = Jd0, Jl0, Ju0
+            else:
+                Jd0, Jl0 = _bs.extract_bidiag_blocks(J0, var_no_b, z_no_b)
+                if _pallas_block:
+                    Jd0 = Jd0.transpose(1, 2, 3, 0)
+                    Jl0 = Jl0.transpose(1, 2, 3, 0)
+                P1_0, P2_0, P3_0 = Jd0, Jl0, jnp.zeros((Bsz, 1, 1), f32)
+        else:
+            eyeB = jnp.tile(jnp.eye(n, dtype=f32)[None], (Bsz, 1, 1))
+            P1_0, P2_0, P3_0 = eyeB, eyeB, jnp.zeros_like(eyeB)
 
     zero_b = jnp.zeros(Bsz, jnp.int32)
     stats0 = EnsembleStats(zero_b + 1, jnp.asarray(1, jnp.int32), zero_b, zero_b,

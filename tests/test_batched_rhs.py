@@ -74,6 +74,27 @@ def test_jacobian_b_matches_vmapped():
     np.testing.assert_allclose(got / scale, want / scale, atol=1e-12)
 
 
+def test_bidiag_blocks_match_dense_extraction():
+    """colored_bidiag_blocks gathers (Jd, Jl) straight from the colored
+    JVP products; values must be BIT-identical to extracting the blocks
+    from the dense colored Jacobian."""
+    from rmt_tpu.ops import block_solve as bs
+
+    _, spec, params, axes, _, dB, t, y = _setup()
+    jac_v = jax.vmap(
+        homo.make_n2_colored_jacobian(spec), in_axes=(0, 0, axes, 0)
+    )
+    Jd_ref, Jl_ref = bs.extract_bidiag_blocks(
+        jac_v(t, y, params, dB), spec.var_no_n2, spec.z_no
+    )
+    jbl = jax.vmap(
+        homo.make_n2_bidiag_blocks(spec), in_axes=(0, 0, axes, 0)
+    )
+    Jd, Jl = jbl(t, y, params, dB)
+    assert np.array_equal(np.asarray(Jd), np.asarray(Jd_ref))
+    assert np.array_equal(np.asarray(Jl), np.asarray(Jl_ref))
+
+
 def test_lockstep_end_to_end_batched_rhs():
     mi, *_ = _setup()
     sweep = {"T0": jnp.asarray([522.0, 524.0, 526.0])}
