@@ -1,25 +1,48 @@
 # Headline benchmark: 4096-member dynamic reactor ensemble (N2, DME
 # chemistry) on one chip vs the sequential SciPy reference.
 #
-# Prints ONE JSON line whose head matches the driver contract
+# Prints JSON lines whose head matches the driver contract
 #   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 # and whose extra fields make the north-star claim verifiable from the
 # artifact alone (4096 members, >=100x the SciPy baseline, <=1e-6 max
 # relative state error SIMULTANEOUSLY):
 #   baseline_seconds  measured wall-clock of ONE reference PyREMOT run
-#   legs.f32 / .f64   members_per_sec + vs_baseline + ON-CHIP measured
+#   legs.f32 / .f32x  members_per_sec + vs_baseline + ON-CHIP measured
 #                     max/mean relative state error vs a CPU-converged
-#                     f64 run of the same sweep (B=16 probe at the same
-#                     tolerances as the throughput run)
+#                     f64 run (committed artifact bench_ref.npz) of a
+#                     16-member probe sweep EMBEDDED in the headline
+#                     batch -- accuracy is measured at B=4096 in the
+#                     same run that is timed, not in a separate config
+#   legs.*.attempts_mean/max  per-member integrator attempts, so a
+#                     future throughput regression is attributable to
+#                     attempt counts vs host noise from the artifact
 #   north_star        which leg satisfies ">=100x AND <=1e-6", if any
 #
-# Each child runs in a SUBPROCESS: the float mode is a process-level
-# config, an over-HBM batch crashes the TPU worker and poisons the
-# parent's jax client, and the converged accuracy reference must run on
-# the host CPU (true f64) while probes run on-chip.
+# Round-3 post-mortem hardening (BENCH_r03 was rc=124 with NO output):
+#   * the headline line is RE-EMITTED after every completed leg -- the
+#     driver parses the LAST JSON line, so a kill mid-bench still
+#     captures everything finished so far;
+#   * SIGTERM/SIGINT emit the best-so-far line before exiting (the
+#     driver wraps the run in `timeout`, which sends SIGTERM first);
+#   * an internal deadline (RMT_BENCH_DEADLINE seconds, default 2100)
+#     gates every leg/child on remaining wall-clock;
+#   * the converged f64 accuracy reference ships as a committed artifact
+#     (bench_ref.npz, scripts/gen_bench_ref.py) instead of a ~10 min
+#     CPU child; RMT_BENCH_REGEN_REF=1 recomputes it live;
+#   * the SciPy baseline is measured ONCE (was twice);
+#   * the f64 leg is opt-in (RMT_BENCH_F64=1): it qualifies nothing the
+#     f32x leg doesn't and costs the most (TPU-emulated f64);
+#   * the JAX persistent compilation cache stays OFF deliberately: on
+#     this tunneled runtime a warm-cache "compile" measured 433 s vs
+#     193 s cold (STATUS.md) -- server-side state dominates.
+#
+# Each throughput leg runs in a SUBPROCESS: the float mode is a
+# process-level config and an over-HBM batch crashes the TPU worker,
+# poisoning the parent's jax client.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -28,9 +51,12 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tests"))
 
+T_START = time.monotonic()
+DEADLINE = float(os.environ.get("RMT_BENCH_DEADLINE", "2100"))
 B = int(os.environ.get("RMT_BENCH_B", "4096"))
-ACC_B = int(os.environ.get("RMT_BENCH_ACC_B", "16"))
+ACC_B = 16                      # probe members spliced into the big sweep
 REFERENCE_PATH = "/root/reference"
+REF_NPZ = os.path.join(ROOT, "bench_ref.npz")
 
 # Per-leg configurations.
 #   f32  -- throughput leg: plain float32 at the f32-usable tolerances.
@@ -41,18 +67,10 @@ REFERENCE_PATH = "/root/reference"
 #           accuracy floor is ~7e-7 (measured on-chip B=16 vs a
 #           CPU-converged f64 run: rtol=1e-6 -> 9.8e-7, 7e-7 -> 6.6e-7,
 #           5e-7 -> 8.3e-7 -- non-monotone, so 7e-7 buys the best 1e-6
-#           margin at IDENTICAL attempts, 140-148 mean/max vs the plain
-#           leg's 387: the accurate rates also smooth Newton). B=512
-#           throughput 8.80 members/s (~850x).
-#   f64  -- full float64 (TPU-emulated) reference-grade leg.
+#           margin at IDENTICAL attempts).
+#   f64  -- full float64 (TPU-emulated) reference-grade leg (opt-in).
 # j_every=8 on the f32 legs: on-chip B=512 A/B measured 17.4 -> 23.7
 # members/s (fresher Jacobians break the Newton-failure limit cycle).
-# call_chunks caps microbatches per executable invocation BELOW the
-# runtime's long-invocation kill limit (~several hundred seconds):
-# measured for the df32 leg, 2x512 in one call = 111 s -> 9.18
-# members/s vs 7.2 for two single-512 calls (pure invocation-overhead
-# amortization); 3-4 chunks (~220+ s/call) would court the kill limit
-# (the f64 leg's 156 s calls survive, 300+ s calls crash, r2 data).
 LEGS = {
     "f32": dict(x64="0", rtol=1e-5, atol=1e-7, max_steps=768,
                 newton_iters=5, kw={"j_every": 8}),
@@ -64,11 +82,60 @@ LEGS = {
                 newton_iters=6, kw={}),
 }
 
+_best = {"metric": "n2_dme_ensemble_members_per_sec", "value": 0.0,
+         "unit": "reactors/s", "vs_baseline": 0.0}
 
-def _sweep_offsets(b):
-    import numpy as np
 
-    return np.linspace(-5.0, 5.0, b)
+def _remaining():
+    return DEADLINE - (time.monotonic() - T_START)
+
+
+def emit():
+    """Print the current best headline line. Called after every completed
+    milestone and from the signal handlers: the driver takes the LAST
+    JSON line, so repeated emission makes the artifact monotone-better
+    instead of all-or-nothing (the round-3 failure mode)."""
+    print(json.dumps(_best), flush=True)
+
+
+def _on_signal(signum, frame):  # pragma: no cover - driver kill path
+    print(f"# signal {signum}: emitting best-so-far and exiting",
+          file=sys.stderr, flush=True)
+    emit()
+    os._exit(0)
+
+
+def _update_head(legs, t_ref, north):
+    head_name = max(
+        legs, key=lambda k: legs[k].get("members_per_sec") or 0.0,
+        default=None,
+    ) if legs else None
+    if head_name is None:
+        return
+    head = legs[head_name]
+    _best.clear()
+    _best.update({
+        "metric": f"n2_dme_ensemble{head['B']}_members_per_sec",
+        "value": head["members_per_sec"],
+        "unit": "reactors/s",
+        "vs_baseline": head["vs_baseline"],
+        "baseline_seconds": t_ref and round(t_ref, 3),
+        "legs": legs,
+        "north_star": north,
+    })
+
+
+def _north_star(legs):
+    # north star: 4096 members AND >=100x AND <=1e-6, one leg, one run
+    for name in ("f32", "f32x", "f64"):  # prefer the fastest qualifying leg
+        leg = legs.get(name)
+        if (leg and leg.get("vs_baseline") and leg["vs_baseline"] >= 100.0
+                and leg.get("max_rel_err") is not None
+                and leg["max_rel_err"] <= 1e-6 and leg["B"] >= 4096):
+            return {"satisfied": True, "leg": name, "B": leg["B"],
+                    "vs_baseline": leg["vs_baseline"],
+                    "max_rel_err": leg["max_rel_err"]}
+    return {"satisfied": False}
 
 
 def measure_reference_seconds(model_input_factory):
@@ -86,114 +153,134 @@ def measure_reference_seconds(model_input_factory):
         matplotlib.use("Agg")
         from PyREMOT import rmtExe as ref_rmt_exe
 
-        best = float("inf")
-        for _ in range(2):
-            mi = model_input_factory()
-            t0 = time.perf_counter()
-            with redirect_stdout(io.StringIO()):
-                ref_rmt_exe(mi)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        mi = model_input_factory()
+        t0 = time.perf_counter()
+        with redirect_stdout(io.StringIO()):
+            ref_rmt_exe(mi)
+        return time.perf_counter() - t0
     except Exception as e:  # pragma: no cover - bench robustness
         print(f"# reference NOT measured ({e}); vs_baseline will be null",
               file=sys.stderr)
         return None
 
 
-def _run_ensemble(b, microbatch, leg, max_steps=None):
-    """Integrate a b-member T0 sweep at the leg's bench tolerances;
-    returns (ys, stats). Used by both child modes so the accuracy probe
-    measures EXACTLY the configuration the throughput leg runs."""
+def _probe_layout(b, offsets16):
+    """Sweep offsets for b members with the 16 reference-probe T0 offsets
+    spliced in at evenly spaced indices (bit-exact: accuracy and
+    throughput come from the SAME run at the SAME batch size)."""
     import numpy as np
 
-    import jax.numpy as jnp
-
-    from dme_case import make_model_input
-    from rmt_tpu.parallel import run_n2_ensemble_lockstep
-
-    mi = make_model_input(model="N2")
-    sweep = {"T0": jnp.asarray(523.0 + _sweep_offsets(b))}
-    ys, stats = run_n2_ensemble_lockstep(
-        # newton_iters per leg: with the collocation-extrapolation stage
-        # predictor 5 simplified-Newton sweeps suffice in f32 (A/B
-        # on-chip: 36.0 vs 31.9 members/s at 6, B=512); the f64 leg keeps
-        # 6 (its Newton tolerance is proportionally tighter).
-        mi, sweep, max_steps=max_steps or leg["max_steps"],
-        rtol=leg["rtol"], atol=leg["atol"],
-        newton_iters=leg["newton_iters"],
-        microbatch=microbatch,
-        **leg.get("kw", {}),
-    )
-    np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
-    return ys, stats
+    sweep = np.linspace(-5.0, 5.0, b)
+    if b >= len(offsets16):
+        idx = np.round(np.linspace(0, b - 1, len(offsets16))).astype(int)
+        sweep[idx] = offsets16
+    else:  # smoke-test sizes: no probe
+        idx = np.arange(0)
+    return sweep, idx
 
 
-def child_tput(leg_name, b, n_chunks):
-    """Time B = n_chunks * b members in this process; print one JSON line.
+def child_tput(leg_name, b, n_chunks, chemistry="dme"):
+    """Integrate B = n_chunks * b members in this process; print one JSON
+    line with throughput, per-member attempt stats, and -- when the
+    committed reference artifact is present -- the probe members' max/mean
+    relative error vs the CPU-converged f64 states.
 
     Microbatches of size b run as a lax.scan INSIDE one compiled call
     (run_n2_ensemble_lockstep(microbatch=b)): the tunneled runtime
-    charges a large FIXED cost per executable invocation (~17.5 s
-    measured at B=512, vs ~4.4 ms marginal per integrator attempt), so
-    one call amortizes what per-microbatch calls would pay n_chunks
-    times. HBM holds one microbatch's integrator state at a time.
-
-    The runtime also KILLS long-running invocations (measured: f64
-    4x256 at 156 s/call completes; 8x512 and 16x256 -- several hundred
-    seconds in one program -- crash the worker), so at most
-    RMT_BENCH_CALL_CHUNKS microbatches (default 4) run per call and the
-    remainder loops over calls."""
+    charges a large FIXED cost per executable invocation (~5-20 s
+    measured, vs ms-scale marginal per integrator attempt), so one call
+    amortizes what per-microbatch calls would pay n_chunks times. The
+    runtime also KILLS long-running invocations (measured: ~150 s/call
+    completes, 300+ s crashes the worker), so at most
+    RMT_BENCH_CALL_CHUNKS microbatches run per call and the remainder
+    loops over calls. The FIRST call (which also compiles) is untimed;
+    throughput is measured over the remaining calls when there are any,
+    else over a second run of the single call."""
     import numpy as np
 
+    import jax
+
+    if os.environ.get("RMT_BENCH_CPU"):  # smoke tests off-TPU
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    from rmt_tpu.parallel import run_n2_ensemble_lockstep
+
+    if chemistry == "dme":
+        from dme_case import make_model_input
+        t_base = 523.0
+    else:
+        from ch4_case import make_model_input
+        t_base = 973.0
 
     leg = LEGS[leg_name]
     k_call = max(int(os.environ.get(
         "RMT_BENCH_CALL_CHUNKS", str(leg.get("call_chunks", 4)))), 1)
 
-    def run_once(n_here):
-        return _run_ensemble(
-            n_here * b, microbatch=b if n_here > 1 else None, leg=leg)
+    ref_offsets = ref_ys = None
+    if os.path.exists(REF_NPZ):
+        with np.load(REF_NPZ) as z:
+            ref_offsets = z[f"{chemistry}_offsets"]
+            ref_ys = z[f"{chemistry}_ys"]
 
-    call_sizes = [min(k_call, n_chunks - i) for i in range(0, n_chunks, k_call)]
-    run_once(call_sizes[0])  # compile (full-size first call; later shapes
-    # reuse the cache only if equal -- keep every call k_call chunks when
-    # possible)
+    b_total = b * n_chunks
+    sweep_all, probe_idx = (
+        _probe_layout(b_total, ref_offsets) if ref_offsets is not None
+        else (np.linspace(-5.0, 5.0, b_total), np.arange(0))
+    )
+
+    mi = make_model_input(model="N2")
+
+    def run_rows(lo, hi):
+        n_here = (hi - lo) // b
+        sweep = {"T0": jnp.asarray(t_base + sweep_all[lo:hi])}
+        ys, stats = run_n2_ensemble_lockstep(
+            mi, sweep, max_steps=leg["max_steps"],
+            rtol=leg["rtol"], atol=leg["atol"],
+            newton_iters=leg["newton_iters"],
+            microbatch=b if n_here > 1 else None,
+            **leg.get("kw", {}),
+        )
+        np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
+        return ys, stats
+
+    bounds = list(range(0, b_total + 1, k_call * b))
+    if bounds[-1] != b_total:
+        bounds.append(b_total)
+    calls = list(zip(bounds[:-1], bounds[1:]))
+
+    outs = [run_rows(*calls[0])]  # compile + first slice (untimed)
     t0 = time.perf_counter()
-    outs = [run_once(n) for n in call_sizes]
+    if len(calls) > 1:
+        outs += [run_rows(lo, hi) for lo, hi in calls[1:]]
+        n_timed = b_total - calls[0][1]
+    else:
+        outs = [run_rows(*calls[0])]   # re-run the single call, timed
+        n_timed = b_total
     t_ens = time.perf_counter() - t0
-    unfinished = 0
+
+    ys_all, att_all, unfinished = [], [], 0
     for ys, stats in outs:
         assert bool(jnp.all(jnp.isfinite(ys[-1])))
-        assert int(jnp.min(stats.n_accepted)) > 0
         unfinished += int(jnp.sum(stats.seg < ys.shape[0] - 1))
+        att_all.append(np.asarray(stats.n_accepted + stats.n_rejected))
+        ys_all.append(np.asarray(ys, np.float64))
     assert unfinished == 0, \
-        f"{unfinished}/{n_chunks * b} members exhausted the budget"
-    print(json.dumps({"b": b, "n_chunks": n_chunks, "t_ens": t_ens}))
+        f"{unfinished}/{b_total} members exhausted the budget"
+    att = np.concatenate(att_all)
+    out = {"b": b, "n_chunks": n_chunks, "b_total": b_total,
+           "n_timed": n_timed, "t_ens": t_ens,
+           "attempts_mean": round(float(att.mean()), 1),
+           "attempts_max": int(att.max())}
 
-
-def child_acc(leg_name, b, path):
-    """Integrate the B=b probe sweep and save the output states.
-    leg_name "ref" = CPU-converged f64 reference (rtol=1e-9); otherwise
-    the named leg's exact bench configuration on the default backend."""
-    import numpy as np
-
-    import jax
-
-    if leg_name == "ref":
-        # the axon TPU plugin ignores the JAX_PLATFORMS env var; only the
-        # config knob actually selects cpu
-        jax.config.update("jax_platforms", "cpu")
-        leg = dict(rtol=1e-9, atol=1e-12, newton_iters=6, max_steps=2048)
-    else:
-        leg = LEGS[leg_name]
-    print(f"# acc child {leg_name}: backend {jax.default_backend()}",
-          file=sys.stderr)
-    ys, stats = _run_ensemble(b, microbatch=None, leg=leg)
-    import jax.numpy as jnp
-
-    assert int(jnp.sum(stats.seg < ys.shape[0] - 1)) == 0, "budget exhausted"
-    np.save(path, np.asarray(ys, np.float64))
+    if ref_ys is not None and probe_idx.size:
+        got = np.concatenate(ys_all, axis=1)[:, probe_idx, :]
+        denom = np.maximum(np.abs(ref_ys), 1e-7)
+        rel = np.abs(got - ref_ys) / denom
+        out["max_rel_err"] = float(rel.max())
+        out["mean_rel_err"] = float(rel.mean())
+        out["acc_B"] = int(probe_idx.size)
+    print(json.dumps(out), flush=True)
 
 
 def _spawn(child_spec, x64, timeout):
@@ -204,44 +291,50 @@ def _spawn(child_spec, x64, timeout):
     )
 
 
-def _leg_throughput(leg_name, t_ref):
+def _leg_throughput(leg_name, t_ref, chemistry="dme", b_total=None):
     """Walk down batch-size candidates (an over-HBM batch crashes the
     worker; the next candidate runs in a fresh subprocess after a
-    recovery pause). Returns {members_per_sec, vs_baseline, B} or None."""
+    recovery pause). Returns the leg dict or None."""
     leg = LEGS[leg_name]
+    b_total = b_total or B
     default_chunk = {"f64": "256", "f32x": "1024"}.get(leg_name, "4096")
     # f32: B=4096 fits in ONE device-resident batch since the fused Pallas
-    # NS kernel removed the stacked XLA intermediates. f64: the integrator
-    # state is 2x and the x64 scan-of-pallas path kernel-faults at
-    # microbatch 512 (measured); 256 is the verified ceiling. f32x (Pallas
-    # block kernels): measured on-chip 1024/call = 91.5 s -> 11.19
-    # members/s vs 512/call 10.60 (fit: ~5 s fixed per invocation + ~84
-    # ms/member marginal); 2048/call (~180 s) would court the runtime's
-    # long-invocation kill limit, so 1024 is the unit and each call runs
-    # ONE batch (call_chunks=1).
+    # NS kernel removed the stacked XLA intermediates. f64: the x64
+    # scan-of-pallas path kernel-faults at microbatch 512 (measured); 256
+    # is the verified ceiling. f32x: 1024/call measured best (round 3).
     chunk_max = int(os.environ.get("RMT_BENCH_CHUNK", default_chunk))
     candidates = sorted(
-        {c for c in (min(B, chunk_max), 2048, 1024, 256, 64)
-         if c <= min(B, chunk_max)},
+        {c for c in (min(b_total, chunk_max), 2048, 1024, 256, 64)
+         if c <= min(b_total, chunk_max)},
         reverse=True,
     )
     for i, b in enumerate(candidates):
-        n_chunks = max(B // b, 1)
+        if _remaining() < 240:
+            print(f"# {leg_name}: {_remaining():.0f}s left, giving up",
+                  file=sys.stderr)
+            return None
+        n_chunks = max(b_total // b, 1)
         try:
-            proc = _spawn(f"tput;{leg_name};{b};{n_chunks}", leg["x64"],
-                          timeout=3600)
+            proc = _spawn(
+                f"tput;{leg_name};{b};{n_chunks};{chemistry}", leg["x64"],
+                timeout=max(_remaining() - 45, 60))
             if proc.returncode == 0:
                 d = json.loads(proc.stdout.strip().splitlines()[-1])
-                n = d["b"] * d["n_chunks"]
-                mps = n / d["t_ens"]
-                return {
-                    "B": n,
+                mps = d["n_timed"] / d["t_ens"]
+                res = {
+                    "B": d["b_total"],
                     "members_per_sec": round(mps, 3),
                     "vs_baseline": (round(mps * t_ref, 2)
                                     if t_ref is not None else None),
                     "rtol": leg["rtol"], "atol": leg["atol"],
+                    "attempts_mean": d["attempts_mean"],
+                    "attempts_max": d["attempts_max"],
                     "config": leg.get("kw", {}),
                 }
+                for k in ("max_rel_err", "mean_rel_err", "acc_B"):
+                    if k in d:
+                        res[k] = d[k]
+                return res
             tail = (proc.stderr or "").strip().splitlines()
             print(f"# {leg_name} B={b} failed: "
                   f"{tail[-1][:140] if tail else proc.returncode}",
@@ -250,111 +343,68 @@ def _leg_throughput(leg_name, t_ref):
             print(f"# {leg_name} B={b} failed: {str(e)[:140]}",
                   file=sys.stderr)
         if i < len(candidates) - 1:
-            print("# waiting 90s for TPU worker recovery", file=sys.stderr)
-            time.sleep(90)
+            print("# waiting 60s for TPU worker recovery", file=sys.stderr)
+            time.sleep(60)
     return None
-
-
-def _leg_accuracy(leg_name, ref_states):
-    """On-chip B=ACC_B probe at the leg's bench tolerances vs the
-    CPU-converged reference states; max/mean relative error over ALL
-    output states with the 1e-7 relative floor (same metric as
-    scripts/accuracy_n2.py)."""
-    import numpy as np
-
-    path = f"/tmp/rmt_bench_acc_{leg_name}.npy"
-    try:
-        proc = _spawn(f"acc;{leg_name};{ACC_B};{path}",
-                      LEGS[leg_name]["x64"], timeout=1800)
-        if proc.returncode != 0:
-            tail = (proc.stderr or "").strip().splitlines()
-            print(f"# acc {leg_name} failed: "
-                  f"{tail[-1][:140] if tail else proc.returncode}",
-                  file=sys.stderr)
-            return None
-        got = np.load(path)
-        denom = np.maximum(np.abs(ref_states), 1e-7)
-        rel = np.abs(got - ref_states) / denom
-        return {"acc_B": ACC_B, "max_rel_err": float(rel.max()),
-                "mean_rel_err": float(rel.mean())}
-    except Exception as e:  # pragma: no cover - bench robustness
-        print(f"# acc {leg_name} failed: {str(e)[:140]}", file=sys.stderr)
-        return None
 
 
 def main():
     spec = os.environ.get("RMT_BENCH_CHILD")
     if spec:
         parts = spec.split(";")
-        if parts[0] == "tput":
-            child_tput(parts[1], int(parts[2]), int(parts[3]))
-        else:
-            child_acc(parts[1], int(parts[2]), parts[3])
+        child_tput(parts[1], int(parts[2]), int(parts[3]),
+                   parts[4] if len(parts) > 4 else "dme")
         return
 
-    t_ref = measure_reference_seconds(
-        lambda: __import__("dme_case").make_model_input(model="N2")
-    )
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    emit()  # a valid (if empty) line exists from second zero
 
-    # CPU-converged f64 reference for the accuracy probes (one child)
-    ref_states = None
-    try:
-        import numpy as np
+    if os.environ.get("RMT_BENCH_REGEN_REF") or not os.path.exists(REF_NPZ):
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(ROOT, "scripts",
+                                              "gen_bench_ref.py")],
+                timeout=max(_remaining() / 3, 60), check=True,
+                capture_output=True, text=True)
+        except Exception as e:  # pragma: no cover - bench robustness
+            print(f"# reference regen failed ({str(e)[:140]}); "
+                  "accuracy fields will be absent", file=sys.stderr)
 
-        ref_path = "/tmp/rmt_bench_acc_ref.npy"
-        proc = _spawn(f"acc;ref;{ACC_B};{ref_path}", "1", timeout=3600)
-        if proc.returncode == 0:
-            ref_states = np.load(ref_path)
-        else:
-            tail = (proc.stderr or "").strip().splitlines()
-            print(f"# converged reference failed: "
-                  f"{tail[-1][:140] if tail else proc.returncode}",
-                  file=sys.stderr)
-    except Exception as e:  # pragma: no cover - bench robustness
-        print(f"# converged reference failed: {str(e)[:140]}",
-              file=sys.stderr)
+    t_ref = None
+    if not os.environ.get("RMT_BENCH_SKIP_BASELINE"):
+        t_ref = measure_reference_seconds(
+            lambda: __import__("dme_case").make_model_input(model="N2")
+        )
 
     legs = {}
-    for leg_name in ("f32", "f32x", "f64"):
+    # f32 first: it compiles and runs fastest, so a driver kill after the
+    # first leg still captures a headline. f32x second: the north star.
+    leg_names = ["f32", "f32x"]
+    if os.environ.get("RMT_BENCH_F64"):
+        leg_names.append("f64")
+    for leg_name in leg_names:
         if os.environ.get(f"RMT_BENCH_SKIP_{leg_name.upper()}"):
             continue
         leg = _leg_throughput(leg_name, t_ref)
-        if leg is not None and ref_states is not None:
-            acc = _leg_accuracy(leg_name, ref_states)
-            if acc:
-                leg.update(acc)
         if leg is not None:
             legs[leg_name] = leg
+            _update_head(legs, t_ref, _north_star(legs))
+            emit()
 
-    # north star: 4096 members AND >=100x AND <=1e-6, one leg, one run
-    north = None
-    for name in ("f32", "f32x", "f64"):  # prefer the fastest qualifying leg
-        leg = legs.get(name)
-        if (leg and leg.get("vs_baseline") and leg["vs_baseline"] >= 100.0
-                and leg.get("max_rel_err") is not None
-                and leg["max_rel_err"] <= 1e-6 and leg["B"] >= 4096):
-            north = {"satisfied": True, "leg": name, "B": leg["B"],
-                     "vs_baseline": leg["vs_baseline"],
-                     "max_rel_err": leg["max_rel_err"]}
-            break
-    if north is None:
-        north = {"satisfied": False}
+    # CH4 second-chemistry accuracy guard on the north-star configuration
+    # (df32 constants-splitting and exp/log ranges are chemistry-dependent):
+    # a B=16 probe-only run, no throughput claim.
+    if ("f32x" in legs and _remaining() > 420
+            and not os.environ.get("RMT_BENCH_SKIP_CH4")):
+        ch4 = _leg_throughput("f32x", None, chemistry="ch4", b_total=ACC_B)
+        if ch4 and ch4.get("max_rel_err") is not None:
+            legs["f32x"]["ch4_max_rel_err"] = ch4["max_rel_err"]
+            legs["f32x"]["ch4_mean_rel_err"] = ch4["mean_rel_err"]
+            _update_head(legs, t_ref, _north_star(legs))
+            emit()
 
-    head = legs.get("f32") or legs.get("f32x") or legs.get("f64")
-    if head is None:
-        print(json.dumps({"metric": "n2_dme_ensemble_members_per_sec",
-                          "value": 0.0, "unit": "reactors/s",
-                          "vs_baseline": 0.0}))
-        return
-    print(json.dumps({
-        "metric": f"n2_dme_ensemble{head['B']}_members_per_sec",
-        "value": head["members_per_sec"],
-        "unit": "reactors/s",
-        "vs_baseline": head["vs_baseline"],
-        "baseline_seconds": (round(t_ref, 3) if t_ref is not None else None),
-        "legs": legs,
-        "north_star": north,
-    }))
+    emit()
 
 
 if __name__ == "__main__":
