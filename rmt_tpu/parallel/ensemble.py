@@ -137,6 +137,7 @@ def run_n2_ensemble_lockstep(
     exact_solve: bool = False,
     accurate_rates: bool | str = False,
     batched_rhs: bool | None = None,
+    cheap_sweeps: int = 0,
     **solver_kwargs,
 ):
     """N2 dynamic ensemble on the TPU-native lockstep integrator.
@@ -189,6 +190,17 @@ def run_n2_ensemble_lockstep(
     mode supports it (plain f32 or "df32"; the x64-hybrid legs keep the
     vmapped path), off elsewhere.
 
+    cheap_sweeps=k (accurate_rates modes only): hybrid-precision Newton.
+    The first k simplified-Newton sweeps of every attempt evaluate stage
+    residuals with the PLAIN f32 RHS (measured ~10x cheaper per eval
+    than the df32 chain); the remaining newton_iters - k sweeps use the
+    accurate RHS, with per-member convergence re-judged on accurate
+    increments only (stiff_ensemble.odeint_ensemble docstring). The
+    accepted step's K then satisfies the accurate stage equations to
+    theta^(ni-k) * |rate error of the plain chain| -- measure the
+    whole-run error before adopting a new k (bench legs pin what the
+    accuracy probe verified).
+
     microbatch=K splits the ensemble into B/K sequential microbatches
     INSIDE one compiled call (lax.scan over reshaped sweep leaves). Two
     reasons to use it: (a) only one microbatch's integrator state is live
@@ -215,6 +227,16 @@ def run_n2_ensemble_lockstep(
             "df32" if df32_mode
             else bool(accurate_rates) and not full_f64_rhs)
     )
+    rhs_cheap = None
+    if cheap_sweeps:
+        if not accurate_rates:
+            raise ValueError(
+                "cheap_sweeps only makes sense with an accurate_rates "
+                "mode (the plain RHS IS the cheap one otherwise)"
+            )
+        if batched_rhs:
+            raise ValueError("cheap_sweeps + batched_rhs not supported")
+        rhs_cheap = homo.make_n2_rhs(spec)
     jac_c = homo.make_n2_colored_jacobian(spec) if colored_jacobian else None
     jac_bl = None
     if exact_solve:
@@ -271,6 +293,10 @@ def run_n2_ensemble_lockstep(
         rhs = lambda t, y, p, d: rhs_raw(t, y, p, d).astype(f32)
         if jac_raw is not None:
             jac_c = lambda t, y, p, d: jac_raw(t, y, p, d).astype(f32)
+        if rhs_cheap is not None:
+            rhs_cheap_raw = rhs_cheap
+            rhs_cheap = lambda t, y, p, d: rhs_cheap_raw(
+                t, y, p, d).astype(f32)
 
     if batched_rhs is None:
         # measured on-chip (scripts/attempt_cost_matrix.py, B=512): the
@@ -358,6 +384,11 @@ def run_n2_ensemble_lockstep(
 
         def f_batched(t, y):
             return fB(t, y, params, dB)
+
+        if rhs_cheap is not None:
+            fcB = jax.vmap(rhs_cheap, in_axes=(0, 0, axes, 0))
+            solver_kwargs["f_cheap"] = lambda t, y: fcB(t, y, params, dB)
+            solver_kwargs["cheap_sweeps"] = int(cheap_sweeps)
 
         if jac_c is not None:
             jB = jax.vmap(jac_c, in_axes=(0, 0, axes, 0))

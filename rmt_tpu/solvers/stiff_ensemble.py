@@ -34,6 +34,7 @@
 from __future__ import annotations
 
 import os
+import sys
 from functools import partial
 from typing import NamedTuple
 
@@ -110,7 +111,7 @@ def _cmatmul(ar, ai, br, bi):
 @partial(
     jax.jit,
     static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18, 19,
-                    20),
+                    20, 21, 22),
 )
 def odeint_ensemble(
     f,
@@ -134,6 +135,8 @@ def odeint_ensemble(
     max_factor: float | None = None,
     theta_target: float | None = None,
     jac_blocks=None,
+    f_cheap=None,
+    cheap_sweeps: int = 0,
 ):
     """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
 
@@ -168,6 +171,17 @@ def odeint_ensemble(
     blocks straight from the colored JVP products (the dense build +
     re-extraction dominated the refresh cost on the TPU runtime) and
     the carry holds a placeholder in the J slot.
+
+    f_cheap + cheap_sweeps: hybrid-precision simplified Newton. The
+    first cheap_sweeps sweeps evaluate stage residuals with f_cheap (a
+    cheaper, less accurate RHS -- e.g. the plain-f32 kinetics chain
+    when f is the compensated-df32 one, measured ~10x the eval cost);
+    the remaining newton_iters - cheap_sweeps sweeps use f. At the
+    switch the per-member `done` flags RESET, so every member performs
+    at least one accurate sweep and the convergence test is measured
+    on accurate increments: the converged K then satisfies the
+    ACCURATE stage equations to theta^k * |f - f_cheap| (k accurate
+    sweeps from an f_cheap-converged point), not the cheap ones.
     Returns (ys, stats) with ys of shape (n_out, B, n); ys[0] == y0.
     """
     if args is not None:
@@ -233,8 +247,14 @@ def odeint_ensemble(
         Kg = jnp.where(jnp.isfinite(Kg), Kg, 0.0)
         return Kg
 
+    if args is not None and f_cheap is not None:
+        fc_ = lambda t, y: f_cheap(t, y, *args)
+    else:
+        fc_ = f_cheap
+
     if batched:
         fB = f_                            # (B,), (B,n) -> (B,n)
+        fB_cheap = fc_
         if jac is None:
             # jacfwd of the batched function, one member's tangent at a time
             def jacB(t, y):
@@ -250,13 +270,17 @@ def odeint_ensemble(
             jacB = jac
     else:
         fB = jax.vmap(f_)                  # (B,), (B,n) -> (B,n)
+        fB_cheap = jax.vmap(fc_) if fc_ is not None else None
         jac_single = jax.jacfwd(f_, argnums=1) if jac is None else jac
         jacB = jax.vmap(jac_single)        # -> (B,n,n)
 
-    def stage_eval(t, h, Y):
+    _cheap_n = (min(int(cheap_sweeps), newton_iters - 1)
+                if (f_cheap is not None and cheap_sweeps) else 0)
+
+    def stage_eval(fB_, t, h, Y):
         """Y: (B,3,n) -> F: (B,3,n), mapping the batched RHS over stages."""
         ts_st = t[:, None] + C[None, :] * h[:, None]    # (B,3)
-        return jax.vmap(fB, in_axes=(1, 1), out_axes=1)(ts_st, Y)
+        return jax.vmap(fB_, in_axes=(1, 1), out_axes=1)(ts_st, Y)
 
     eye_f32 = jnp.eye(n, dtype=f32)[None]
 
@@ -595,12 +619,13 @@ def odeint_ensemble(
             Kg = predict_K(Kp, hp, h_eff, f0)
             K = jnp.where(pv[:, None, None], Kg, K)
 
-        def newton(carry_n, _):
+        def newton_with(fB_used):
+          def newton(carry_n, _):
             K, done, dn, rn, theta = carry_n
             Y = y[:, None, :] + h_eff[:, None, None] * jnp.einsum(
                 "ij,bjn->bin", A, K
             )
-            F = stage_eval(t, h_eff, Y)
+            F = stage_eval(fB_used, t, h_eff, Y)
             R = F - K
             rn_new = norm_b(
                 (h_eff[:, None] * R.reshape(Bsz, -1)),
@@ -639,13 +664,26 @@ def odeint_ensemble(
                 done | done_new | ~jnp.isfinite(dn), theta, ratio
             )
             return (K_new, done_new, dn_keep, rn_keep, theta_new), None
+          return newton
 
+        carry_n0 = (
+            K, jnp.zeros(Bsz, bool), jnp.full((Bsz,), jnp.inf, dtype),
+            jnp.full((Bsz,), jnp.inf, dtype), jnp.zeros((Bsz,), dtype))
+        if _cheap_n > 0:
+            # hybrid precision: cheap-RHS sweeps first, then RESET the
+            # done flags so every member runs the remaining sweeps on
+            # the accurate RHS -- convergence (and the accepted K) is
+            # judged on accurate increments only. dn carries over so a
+            # member whose accurate residual jumps by |f - f_cheap|
+            # reports a pessimistic theta (conservative growth cap).
+            carry_n0, _ = lax.scan(
+                newton_with(fB_cheap), carry_n0, None, length=_cheap_n
+            )
+            Kc, _, dnc, rnc, thc = carry_n0
+            carry_n0 = (Kc, jnp.zeros(Bsz, bool), dnc, rnc, thc)
         (K, conv, _, res_n, theta_n), _ = lax.scan(
-            newton,
-            (K, jnp.zeros(Bsz, bool), jnp.full((Bsz,), jnp.inf, dtype),
-             jnp.full((Bsz,), jnp.inf, dtype), jnp.zeros((Bsz,), dtype)),
-            None,
-            length=newton_iters,
+            newton_with(fB), carry_n0, None,
+            length=newton_iters - _cheap_n,
         )
         # certify the linear solves: a silently-bad preconditioner makes
         # Newton increments tiny while the system stays unsolved
@@ -852,7 +890,27 @@ def odeint_ensemble(
         state, _ = lax.scan(attempt, state, None, length=chunk)
         return state
 
-    def chunk_body(state, _):
+    # Liveness/progress surface (the reference prints a progress bar from
+    # inside its N1 RHS, PyREMOT/solvers/solProgress.py:5, hooked at
+    # pbHomoReactor.py:3305-3312 -- impossible per-RHS-call inside jit).
+    # Opt-in via RMT_TPU_PROGRESS=1: a host callback at every attempt-chunk
+    # boundary (i.e. each Jacobian-refresh period) reports members
+    # finished / attempt usage while a long ensemble invocation runs.
+    # Default OFF: debug callbacks are unsupported on some TPU runtimes
+    # (the axon tunnel) and the hot loop must not depend on them.
+    _progress = os.environ.get("RMT_TPU_PROGRESS", "") not in ("", "0")
+
+    def _progress_report(i, seg, n_acc, n_rej):
+        done = int(np.sum(np.asarray(seg) >= n_out - 1))
+        att = np.asarray(n_acc) + np.asarray(n_rej)
+        print(
+            f"[rmt_tpu] attempts {int(i + 1) * chunk}/{max_steps}: "
+            f"{done}/{seg.shape[0]} members finished, "
+            f"attempts used mean {att.mean():.0f} max {int(att.max())}",
+            file=sys.stderr, flush=True,
+        )
+
+    def chunk_body(state, i):
         # early exit: once EVERY member has written its last output
         # segment, the remaining budget chunks are skipped at runtime
         # (lax.cond executes one branch on TPU -- unlike select). With the
@@ -863,6 +921,12 @@ def odeint_ensemble(
         seg = state[9]
         alive = jnp.any(seg < n_out - 1)
         state = lax.cond(alive, run_chunk, lambda s: s, state)
+        if _progress:
+            st = state[11]
+            jax.debug.callback(
+                _progress_report, i, state[9], st.n_accepted, st.n_rejected,
+                ordered=False,
+            )
         return state, None
 
     # --- initialization ---
@@ -934,7 +998,9 @@ def odeint_ensemble(
         jnp.full((Bsz,), jnp.inf, dtype),      # hbar
     )
     n_chunks = max(max_steps // chunk, 1)
-    state, _ = lax.scan(chunk_body, state0, None, length=n_chunks)
+    state, _ = lax.scan(
+        chunk_body, state0, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
     y_fin, seg_final, out, stats = state[1], state[9], state[10], state[11]
     # members that exhausted the budget keep their final integrated state
     # in the remaining output slots (detectable via stats/n_accepted)

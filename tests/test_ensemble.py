@@ -487,6 +487,49 @@ def test_lockstep_hybrid_accurate_rates():
         )
 
 
+def test_lockstep_cheap_sweeps_hybrid_newton():
+    """cheap_sweeps=k evaluates the first k simplified-Newton sweeps of
+    every attempt with the plain f32 RHS and only the remaining sweeps
+    with the accurate (df32) chain, re-judging convergence on accurate
+    increments. Trajectories must agree with the all-accurate run within
+    the step-control tolerance and attempts must not blow up."""
+    mi = make_model_input(model="N2")
+    sweep = {"T0": jnp.asarray([523.0, 528.0])}
+    kw = dict(max_steps=768, rtol=1e-5, atol=1e-7, newton_iters=5,
+              accurate_rates="df32", exact_solve=True)
+    ys_a, st_a = run_n2_ensemble_lockstep(mi, sweep, **kw)
+    ys_b, st_b = run_n2_ensemble_lockstep(mi, sweep, cheap_sweeps=2, **kw)
+    assert int(jnp.min(st_b.seg)) == ys_b.shape[0] - 1
+    rel = jnp.max(
+        jnp.abs(ys_b.astype(jnp.float64) - ys_a.astype(jnp.float64))
+        / jnp.maximum(jnp.abs(ys_a.astype(jnp.float64)), 1e-7)
+    )
+    assert float(rel) < 5e-4, float(rel)
+    assert int(jnp.max(st_b.n_accepted + st_b.n_rejected)) <= 2 * int(
+        jnp.max(st_a.n_accepted + st_a.n_rejected)
+    )
+    with pytest.raises(ValueError, match="cheap_sweeps"):
+        run_n2_ensemble_lockstep(mi, sweep, cheap_sweeps=2, max_steps=64)
+
+
+def test_lockstep_progress_surface(monkeypatch, capfd):
+    """RMT_TPU_PROGRESS=1 reports liveness (members finished / attempts
+    used) at every attempt-chunk boundary during a lockstep invocation
+    -- the jit-compatible analogue of the reference's progress bar
+    (PyREMOT/solvers/solProgress.py:5)."""
+    monkeypatch.setenv("RMT_TPU_PROGRESS", "1")
+    mi = make_model_input(model="N2")
+    # distinctive config: the env flag is read at trace time, so a shape
+    # already compiled by another test would skip the callback
+    sweep = {"T0": jnp.asarray([522.0, 524.0, 526.0])}
+    ys, stats = run_n2_ensemble_lockstep(
+        mi, sweep, max_steps=768, rtol=1e-5, atol=1e-7, j_every=24)
+    assert int(jnp.min(stats.seg)) == ys.shape[0] - 1
+    err = capfd.readouterr().err
+    assert "[rmt_tpu] attempts" in err
+    assert "members finished" in err
+
+
 def test_lockstep_tridiag_block_mode():
     """block=(m, z, "tridiag") solves the stage systems of a
     central-difference reaction-diffusion MoL exactly by block cyclic
