@@ -673,14 +673,20 @@ def odeint_ensemble(
             # hybrid precision: cheap-RHS sweeps first, then RESET the
             # done flags so every member runs the remaining sweeps on
             # the accurate RHS -- convergence (and the accepted K) is
-            # judged on accurate increments only. dn carries over so a
-            # member whose accurate residual jumps by |f - f_cheap|
-            # reports a pessimistic theta (conservative growth cap).
+            # judged on accurate increments only. dn resets to inf too:
+            # the first accurate increment jumps by ~|f - f_cheap|, and
+            # a cheap-vs-accurate ratio would pollute the measured
+            # Newton rate theta (observed with theta_target: theta ~ 1
+            # froze all step growth and every member exhausted the
+            # budget at h0-sized steps). With inf the first accurate
+            # ratio is 0 and theta keeps its prior value; genuine rates
+            # are measured from the second accurate sweep on.
             carry_n0, _ = lax.scan(
                 newton_with(fB_cheap), carry_n0, None, length=_cheap_n
             )
             Kc, _, dnc, rnc, thc = carry_n0
-            carry_n0 = (Kc, jnp.zeros(Bsz, bool), dnc, rnc, thc)
+            carry_n0 = (Kc, jnp.zeros(Bsz, bool),
+                        jnp.full((Bsz,), jnp.inf, dtype), rnc, thc)
         (K, conv, _, res_n, theta_n), _ = lax.scan(
             newton_with(fB), carry_n0, None,
             length=newton_iters - _cheap_n,
