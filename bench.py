@@ -77,7 +77,7 @@ LEGS = {
     "f32x": dict(x64="0", rtol=7e-7, atol=1e-9, max_steps=768,
                  newton_iters=5, call_chunks=1,
                  kw={"j_every": 8, "accurate_rates": "df32",
-                     "exact_solve": True}),
+                     "exact_solve": True, "cheap_sweeps": 2}),
     "f64": dict(x64="1", rtol=1e-7, atol=1e-10, max_steps=768,
                 newton_iters=6, kw={}),
 }

@@ -784,7 +784,11 @@ def odeint_ensemble(
         yc1 = u - (y1k - y)
         y_new = jnp.where(accept[:, None], y1k, y)
         yc_new = jnp.where(accept[:, None], yc1, yc)
-        f_cand = fB(t_new, y_new)
+        # fval only seeds the next attempt's Newton start (predictor /
+        # tile(f0)) and the BHAT[0]*f0 term of the error ESTIMATE -- both
+        # noise-tolerant -- so in hybrid mode the cheap RHS suffices (the
+        # accepted state itself never consumes fval)
+        f_cand = (fB_cheap if _cheap_n > 0 else fB)(t_new, y_new)
         f_new = jnp.where(accept[:, None], f_cand, fval)
 
         # segment-boundary crossing: record the state, advance the pointer

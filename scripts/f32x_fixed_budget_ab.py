@@ -39,6 +39,9 @@ CASES = {
     "ns_df32_ni5_j8": dict(newton_iters=5, j_every=8,
                            accurate_rates="df32"),
     "ns_plain_ni5_j8": dict(newton_iters=5, j_every=8),
+    "blk_df32_ni5_j8_cs2": dict(newton_iters=5, j_every=8,
+                                accurate_rates="df32", exact_solve=True,
+                                cheap_sweeps=2),
 }
 
 
