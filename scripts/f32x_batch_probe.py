@@ -25,7 +25,8 @@ from dme_case import make_model_input  # noqa: E402
 from rmt_tpu.parallel import run_n2_ensemble_lockstep  # noqa: E402
 
 LEG = dict(rtol=7e-7, atol=1e-9, max_steps=768, newton_iters=5,
-           j_every=8, accurate_rates="df32", exact_solve=True)
+           j_every=8, accurate_rates="df32", exact_solve=True,
+           cheap_sweeps=2)
 
 
 def run(b, microbatch=None):
