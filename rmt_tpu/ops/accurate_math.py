@@ -27,6 +27,13 @@ import math as _math
 import jax.numpy as jnp
 import numpy as np
 
+from . import floatbits as _fb
+
+# smallest normal f32: the bit-twiddled frexp (ops/floatbits.py) garbles
+# denormals, so the guarded entry points route sub-normal inputs to the
+# native jnp fallback branch they already compute
+_MIN_NORMAL = np.float32(1.1754943508222875e-38)
+
 # ln2 split: LN2_HI has its 12 low mantissa bits zeroed, so k * LN2_HI is
 # exact in f32 for integer |k| < 2^11 (covers |x| <= 88, the f32 exp range)
 _LN2_HI = np.float32(0.693145751953125)
@@ -74,7 +81,9 @@ def _exp_kernel(x, extra=None):
         p = p * r + c
     p = p * r + np.float32(1.0)
     p = p * r + np.float32(1.0)
-    return jnp.ldexp(p, k.astype(jnp.int32))
+    # bit-twiddled 2^k scaling: bit-identical to jnp.ldexp for |k| <= 253
+    # (|x| < 87 keeps |k| <= 126) and Mosaic-safe for fused Pallas kernels
+    return _fb.ldexp2(p, k.astype(jnp.int32))
 
 
 def exp(x):
@@ -94,7 +103,10 @@ def _log_ext(x):
     hi + lo = log(x) to ~1e-9 absolute. hi = e*LN2_HI + 2s is NOT a
     two-float (its own rounding is ~f32 eps); the point is that the
     *constituent* terms are exact/compensated so pow can re-associate."""
-    m, e = jnp.frexp(x)                    # x = m * 2^e, m in [0.5, 1)
+    # bit-twiddled exponent split: bit-identical to jnp.frexp for positive
+    # NORMAL x (callers' `ok` guards exclude x < _MIN_NORMAL) and
+    # Mosaic-safe for fused Pallas kernels
+    m, e = _fb.frexp_pos(x)                # x = m * 2^e, m in [0.5, 1)
     small = m < _SQRT_HALF
     m = jnp.where(small, m + m, m)         # m in [sqrt(1/2), sqrt(2))
     e = (e - small.astype(e.dtype)).astype(jnp.float32)
@@ -116,7 +128,7 @@ def log(x):
     x = jnp.asarray(x)
     if not _is_f32(x):
         return jnp.log(x)
-    ok = (x > np.float32(0.0)) & jnp.isfinite(x)
+    ok = (x >= _MIN_NORMAL) & jnp.isfinite(x)
     xs = jnp.where(ok, x, np.float32(1.0))
     hi, lo = _log_ext(xs)
     return jnp.where(ok, hi + lo, jnp.log(x))
@@ -126,7 +138,7 @@ def log10(x):
     x = jnp.asarray(x)
     if not _is_f32(x):
         return jnp.log10(x)
-    ok = (x > np.float32(0.0)) & jnp.isfinite(x)
+    ok = (x >= _MIN_NORMAL) & jnp.isfinite(x)
     xs = jnp.where(ok, x, np.float32(1.0))
     hi, lo = _log_ext(xs)
     return jnp.where(ok, (hi + lo) * _INV_LN10, jnp.log10(x))
@@ -164,7 +176,7 @@ def pow(x, y):
         return jnp.power(x, y)
     x32 = x.astype(jnp.float32)
     y32 = y.astype(jnp.float32)
-    ok = (x32 > np.float32(0.0)) & jnp.isfinite(x32) & jnp.isfinite(y32)
+    ok = (x32 >= _MIN_NORMAL) & jnp.isfinite(x32) & jnp.isfinite(y32)
     xs = jnp.where(ok, x32, np.float32(1.0))
     ys = jnp.where(ok, y32, np.float32(1.0))
     hi, lo = _log_ext(xs)

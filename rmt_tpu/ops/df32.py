@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import floatbits as _fb
+
 _f32 = jnp.float32
 
 
@@ -297,7 +299,10 @@ def exp(x: DF32) -> DF32:
     out = r2 * np.float32(0.5) + (r + DF32(tail))
     out = out + 1.0
     ki = k.astype(jnp.int32)
-    return DF32(jnp.ldexp(out.hi, ki), jnp.ldexp(out.lo, ki))
+    # bit-twiddled 2^k scaling (ops/floatbits.py): bit-identical to
+    # jnp.ldexp for |k| <= 253 and Mosaic-safe, so the same chain runs
+    # inside fused Pallas RHS kernels
+    return DF32(_fb.ldexp2(out.hi, ki), _fb.ldexp2(out.lo, ki))
 
 
 # atanh-series correction log(m) - 2s = s^3 * poly(s^2), s = (m-1)/(m+1),
@@ -317,7 +322,10 @@ def log(x: DF32) -> DF32:
     e*ln2 uses the ln2 pair; the series correction and the lo-word folding
     log(1 + lo/hi) ~= lo/hi ride in plain f32."""
     x = DF32.from_value(x)
-    m, e = jnp.frexp(x.hi)                   # x.hi = m * 2^e, m in [0.5, 1)
+    # bit-twiddled exponent split (ops/floatbits.py): bit-identical to
+    # jnp.frexp for positive normal x (Mosaic-safe); non-positive inputs
+    # are mapped to nan explicitly below (frexp_pos garbles them)
+    m, e = _fb.frexp_pos(x.hi)               # x.hi = m * 2^e, m in [0.5, 1)
     small = m < np.float32(0.7071067811865476)
     m = jnp.where(small, m + m, m)           # m in [sqrt(1/2), sqrt(2))
     e = (e - small.astype(e.dtype)).astype(_f32)
@@ -330,7 +338,14 @@ def log(x: DF32) -> DF32:
     tail = (s2 * s.hi) * p + x.lo / x.hi     # series corr + lo folding
     out = DF32(s.hi + s.hi, s.lo + s.lo)     # 2s, exact doubling
     out = out + DF32(e * _LN2_HI, e * _LN2_LO)  # e*LN2_HI exact
-    return out + DF32(tail)
+    out = out + DF32(tail)
+    # domain guard: frexp_pos garbles x <= 0 and denormals (jnp.frexp at
+    # least kept the sign); nan-propagation makes a bad Newton iterate
+    # (negative/underflowed value under a log) poison the increment
+    # instead of returning a plausible finite value
+    bad = x.hi < np.float32(1.1754943508222875e-38)
+    nan = jnp.asarray(jnp.nan, dtype=_f32)
+    return DF32(jnp.where(bad, nan, out.hi), jnp.where(bad, nan, out.lo))
 
 
 _INV_LN10 = DF32(np.float32(0.4342944920063019),
