@@ -176,7 +176,11 @@ class RateProgram:
         self._rates = {k: _rebind(v) for k, v in rates_dict.items()}
         self.n_rxn = len(self._rates)
 
-    def __call__(self, T, P, mole_frac, conc, overrides: Mapping[str, Any] | None = None):
+    def call_list(self, T, P, mole_frac, conc, overrides: Mapping[str, Any] | None = None):
+        """Evaluate the dict-program and return the per-reaction rates as a
+        plain LIST (no stacking). Fused Pallas RHS kernels consume this
+        form directly -- stacking to (n_rxn, ...) and re-slicing per
+        reaction is wasted relayout work inside a kernel."""
         x: dict[str, Any] = {
             "R_CONST": R_CONST,
             "T": T,
@@ -198,6 +202,10 @@ class RateProgram:
                 rates.append(overrides[name])
             else:
                 rates.append(fn(x))
+        return rates
+
+    def __call__(self, T, P, mole_frac, conc, overrides: Mapping[str, Any] | None = None):
+        rates = self.call_list(T, P, mole_frac, conc, overrides)
         if any(isinstance(r, _df.DF32) for r in rates):
             # compensated (double-f32) evaluation: keep the pair so the
             # caller's nu@R cancellation resolves before the one final

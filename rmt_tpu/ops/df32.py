@@ -348,12 +348,14 @@ def log(x: DF32) -> DF32:
     return DF32(jnp.where(bad, nan, out.hi), jnp.where(bad, nan, out.lo))
 
 
-_INV_LN10 = DF32(np.float32(0.4342944920063019),
-                 np.float32(-1.0103049952192578e-08))  # 1/ln10 split
+# 1/ln10 split, kept as np scalars: a module-level DF32 would hold jax
+# arrays, which Pallas kernels reject as captured constants
+_INV_LN10_HI = np.float32(0.4342944920063019)
+_INV_LN10_LO = np.float32(-1.0103049952192578e-08)
 
 
 def log10(x: DF32) -> DF32:
-    return log(x) * _INV_LN10
+    return log(x) * DF32(_INV_LN10_HI, _INV_LN10_LO)
 
 
 def sqrt(x: DF32) -> DF32:
