@@ -138,6 +138,7 @@ def run_n2_ensemble_lockstep(
     accurate_rates: bool | str = False,
     batched_rhs: bool | None = None,
     cheap_sweeps: int = 0,
+    fused_rhs: bool | None = None,
     **solver_kwargs,
 ):
     """N2 dynamic ensemble on the TPU-native lockstep integrator.
@@ -200,6 +201,19 @@ def run_n2_ensemble_lockstep(
     theta^(ni-k) * |rate error of the plain chain| -- measure the
     whole-run error before adopting a new k (bench legs pin what the
     accuracy probe verified).
+
+    fused_rhs=True evaluates residual RHS calls (stage residuals, the
+    post-accept f, the initial f0) through ONE fused Pallas kernel per
+    eval (ops/pallas_rhs.py): the whole RHS -- stencils, pressure march,
+    kinetics DSL chain (plain or df32), energetics -- as a single kernel
+    with members on the lane axis. Motivation (measured, STATUS.md round
+    4): the tunneled runtime's per-attempt cost tracks the op count of
+    the scan body, and the df32 chain alone is ~12.5k HLO ops per
+    inlined eval. Preconditioner Jacobians keep the XLA path (colored
+    JVPs differentiate the unfused RHS). Default None = on for the TPU
+    backend when the mode supports it (plain f32 or "df32", vmapped
+    layout); off elsewhere (interpret-mode kernels are slow -- tests
+    opt in explicitly).
 
     microbatch=K splits the ensemble into B/K sequential microbatches
     INSIDE one compiled call (lax.scan over reshaped sweep leaves). Two
@@ -313,6 +327,29 @@ def run_n2_ensemble_lockstep(
                 "batched_rhs supports plain f32 or accurate_rates='df32' "
                 "only (the x64-hybrid legs keep the vmapped path)"
             )
+    if fused_rhs is None:
+        use_fused = (jax.default_backend() == "tpu"
+                     and accurate_rates in (False, "df32")
+                     and not use_batched)
+    else:
+        use_fused = bool(fused_rhs)
+        if use_fused and accurate_rates not in (False, "df32"):
+            raise ValueError(
+                "fused_rhs supports plain f32 or accurate_rates='df32' "
+                "only (the x64-hybrid legs keep the vmapped path)"
+            )
+        if use_fused and use_batched:
+            raise ValueError("fused_rhs and batched_rhs are exclusive")
+    rhs_fused = rhs_fused_cheap = None
+    if use_fused:
+        from ..ops import pallas_rhs
+
+        rhs_fused = pallas_rhs.build_n2_fused(
+            spec, accurate_rates="df32" if df32_mode else False
+        )
+        if df32_mode and cheap_sweeps:
+            rhs_fused_cheap = pallas_rhs.build_n2_fused(spec)
+
     if use_batched:
         rhs_b_raw = homo.make_n2_rhs_b(
             spec, accurate_rates="df32" if df32_mode else False
@@ -378,6 +415,43 @@ def run_n2_ensemble_lockstep(
                 f_batched, y0B, ts, rtol=rtol, atol=atol,
                 jac=jac_batched, batched=True,
                 jac_blocks=jac_blocks_batched, **solver_kwargs,
+            )
+
+        if use_fused:
+            pBf = _broadcast_params(params, y0B.shape[0])
+            b_loc, n_state = y0B.shape
+
+            def f_batched(t, y):
+                return rhs_fused(t, y, pBf, dB).astype(y0B.dtype)
+
+            def _stages(rhs_fn):
+                # one kernel over the stage-stacked 3B batch (stage-major:
+                # member = index % B; the builder tiles the (B,) leaves)
+                def f_stages(ts_st, Y):
+                    yf = Y.transpose(1, 0, 2).reshape(3 * b_loc, n_state)
+                    out = rhs_fn(None, yf, pBf, dB).astype(Y.dtype)
+                    return out.reshape(3, b_loc, n_state).transpose(1, 0, 2)
+
+                return f_stages
+
+            kw = dict(solver_kwargs)
+            kw["f_stages"] = _stages(rhs_fused)
+            if rhs_fused_cheap is not None:
+                kw["f_cheap"] = lambda t, y: rhs_fused_cheap(
+                    t, y, pBf, dB).astype(y0B.dtype)
+                kw["f_cheap_stages"] = _stages(rhs_fused_cheap)
+                kw["cheap_sweeps"] = int(cheap_sweeps)
+
+            if jac_c is not None:
+                jfB = jax.vmap(jac_c, in_axes=(0, 0, axes, 0))
+                jac_batched = lambda t, y: jfB(t, y, params, dB)
+            else:
+                jac_batched = None
+
+            return stiff_ensemble.odeint_ensemble(
+                f_batched, y0B, ts, rtol=rtol, atol=atol,
+                jac=jac_batched, batched=True,
+                jac_blocks=jac_blocks_batched, **kw,
             )
 
         fB = jax.vmap(rhs, in_axes=(0, 0, axes, 0))

@@ -111,7 +111,7 @@ def _cmatmul(ar, ai, br, bi):
 @partial(
     jax.jit,
     static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18, 19,
-                    20, 21, 22),
+                    20, 21, 22, 23, 24),
 )
 def odeint_ensemble(
     f,
@@ -137,6 +137,8 @@ def odeint_ensemble(
     jac_blocks=None,
     f_cheap=None,
     cheap_sweeps: int = 0,
+    f_stages=None,
+    f_cheap_stages=None,
 ):
     """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
 
@@ -278,8 +280,18 @@ def odeint_ensemble(
                 if (f_cheap is not None and cheap_sweeps) else 0)
 
     def stage_eval(fB_, t, h, Y):
-        """Y: (B,3,n) -> F: (B,3,n), mapping the batched RHS over stages."""
+        """Y: (B,3,n) -> F: (B,3,n), mapping the batched RHS over stages.
+
+        f_stages / f_cheap_stages (optional, batched mode): an explicit
+        all-stages evaluator `(ts (B,3), Y (B,3,n)) -> (B,3,n)` used
+        instead of vmapping the per-stage RHS -- fused Pallas RHS kernels
+        provide one (a single kernel over the 3B stage-stacked batch
+        instead of a vmapped pallas_call)."""
         ts_st = t[:, None] + C[None, :] * h[:, None]    # (B,3)
+        if fB_ is fB and f_stages is not None:
+            return f_stages(ts_st, Y)
+        if fB_ is fB_cheap and f_cheap_stages is not None:
+            return f_cheap_stages(ts_st, Y)
         return jax.vmap(fB_, in_axes=(1, 1), out_axes=1)(ts_st, Y)
 
     eye_f32 = jnp.eye(n, dtype=f32)[None]

@@ -129,3 +129,29 @@ def test_fused_df32_tracks_f64_reference():
     # the fused path may differ in benign f32 terms but must stay within
     # ~2x of the XLA df32 path's deviation from the f64 chain
     assert err_fused < max(2.0 * err_xla, 2e-6), (err_fused, err_xla)
+
+
+@pytest.mark.parametrize("mode", [False, "df32"])
+def test_lockstep_fused_end_to_end(mode):
+    """A short N2 lockstep integration through the fused-RHS path
+    (interpret-mode kernels) must match the vmapped-XLA path closely:
+    same integrator, same Jacobians, only residual evals differ by
+    benign f32 reorderings."""
+    from rmt_tpu.parallel import run_n2_ensemble_lockstep
+
+    mi = make_model_input(model="N2", op_period=0.02)
+    B = 4
+    sweep = {"T0": jnp.asarray(523.0 + np.linspace(-2.0, 2.0, B))}
+    kw = dict(rtol=1e-4, atol=1e-6, max_steps=96, newton_iters=5,
+              j_every=8, accurate_rates=mode)
+    if mode == "df32":
+        kw.update(exact_solve=True, cheap_sweeps=2)
+    ys_ref, st_ref = run_n2_ensemble_lockstep(
+        mi, sweep, fused_rhs=False, **kw)
+    ys_f, st_f = run_n2_ensemble_lockstep(mi, sweep, fused_rhs=True, **kw)
+    assert np.all(np.isfinite(np.asarray(ys_f)))
+    # all members must finish within budget on both paths
+    assert int(jnp.sum(st_f.seg < ys_f.shape[0] - 1)) == 0
+    rel = np.max(np.abs(np.asarray(ys_f[-1]) - np.asarray(ys_ref[-1]))
+                 / np.maximum(np.abs(np.asarray(ys_ref[-1])), 1e-3))
+    assert rel < 5e-3, rel
