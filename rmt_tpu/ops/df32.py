@@ -376,6 +376,13 @@ def pow(x, y):
     """x ** y with DF32 semantics on either argument."""
     if isinstance(y, (int, float)) and float(y).is_integer():
         return _int_pow(DF32.from_value(x), int(y))
+    if isinstance(x, (int, float)):
+        # constant base (10**(...) equilibrium constants): route through
+        # __rpow__, whose log(base) is a PYTHON float split -- a traced
+        # 0-d log would hit Mosaic's no-scalar-bitcast limit inside
+        # fused Pallas kernels (and wastes ops everywhere else)
+        y = y if isinstance(y, DF32) else DF32.from_value(y)
+        return y.__rpow__(x)
     if isinstance(x, DF32):
         return x ** y
     return DF32.from_value(x) ** y

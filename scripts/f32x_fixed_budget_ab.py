@@ -42,6 +42,15 @@ CASES = {
     "blk_df32_ni5_j8_cs2": dict(newton_iters=5, j_every=8,
                                 accurate_rates="df32", exact_solve=True,
                                 cheap_sweeps=2),
+    "blk_df32_ni5_j8_cs2_fused": dict(newton_iters=5, j_every=8,
+                                      accurate_rates="df32",
+                                      exact_solve=True, cheap_sweeps=2,
+                                      fused_rhs=True),
+    "blk_df32_ni5_j8_fused": dict(newton_iters=5, j_every=8,
+                                  accurate_rates="df32", exact_solve=True,
+                                  fused_rhs=True),
+    "ns_plain_ni5_j8_fused": dict(newton_iters=5, j_every=8,
+                                  fused_rhs=True),
 }
 
 
