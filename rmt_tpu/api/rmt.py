@@ -101,6 +101,22 @@ def _check_integration(stats, context: str):
     return d
 
 
+def _check_finite(ys, context: str):
+    """Fail loudly on non-finite states. Catches divergence the budget
+    check cannot see -- the fixed steppers (ivp="AM") have no adaptive
+    budget, so a blown-up fixed-step march (e.g. PreCorr3 on the stiff
+    N1/N2 chemistry at AM_n steps) would otherwise return NaN silently.
+    (The reference CRASHES on these inputs instead: its "AM" string
+    reaches scipy solve_ivp, which rejects it, pbHomoReactor.py:2931.)"""
+    if not np.all(np.isfinite(ys)):
+        raise RuntimeError(
+            f"{context}: integration produced non-finite states. With "
+            "solver-config ivp='AM' this means the fixed-step marcher "
+            "diverged on a stiff problem -- raise AM_n or use a stiff "
+            "method (default/Radau/BDF/LSODA)."
+        )
+
+
 def _code_fingerprint(code: types.CodeType) -> tuple:
     consts = tuple(
         _code_fingerprint(c) if isinstance(c, types.CodeType) else repr(c)
@@ -316,6 +332,7 @@ def _run_n1(model_input, spec: homo.HomoSpec, opts):
     ys, stats = runner(p)
     stats_d = _check_integration(stats, "N1")
     ys = np.asarray(ys)
+    _check_finite(ys, "N1")
 
     comp_list = list(spec.comp_list)
     n_comp = spec.n_comp
@@ -440,6 +457,7 @@ def _run_n2(model_input, spec: homo.HomoSpec, opts):
     ys, stats = runner(p, y_init, jnp.asarray(t_start))
     stats_d = _check_integration(stats, "N2")
     ys = np.asarray(ys)
+    _check_finite(ys, "N2")
 
     comp_list = list(spec.comp_list)
     n_comp = spec.n_comp

@@ -191,6 +191,16 @@ def odeint_ensemble(
     else:
         f_ = f
 
+    # DIAGNOSTIC ONLY (scripts/ablate_inplace.py): comma-list of
+    # structural elements to stub out, for attributing the on-chip
+    # per-attempt cost of the REAL program (isolated component probes
+    # measure ~12 ms/attempt where the integrator measures ~150-230 --
+    # scripts/ablate_attempt.py vs f32x_fixed_budget_ab.py). Results are
+    # WRONG under ablation; never set outside cost attribution.
+    _ablate = frozenset(
+        filter(None, os.environ.get("RMT_TPU_ABLATE", "").split(","))
+    )
+
     y0 = jnp.asarray(y0)
     Bsz, n = y0.shape
     dtype = y0.dtype
@@ -602,6 +612,8 @@ def odeint_ensemble(
                     solve_real(to_blocks(e32))
                 ).astype(dtype)
             rho = jnp.zeros((Bsz,), f32)
+        elif "ns" in _ablate:
+            rho = jnp.zeros((Bsz,), f32)
         else:
             # warm preconditioner maintenance every attempt (h drift <= 1.4x)
             Pr, Pcr, Pci, rho = ns_update(Pr, Pcr, Pci, h_eff, J, ns_step)
@@ -626,7 +638,7 @@ def odeint_ensemble(
         # --- simplified Newton on the stacked stages (fixed sweeps, masked)
         f0 = fval
         K = jnp.tile(f0[:, None, :], (1, 3, 1))
-        if predict_stages:
+        if predict_stages and "pred" not in _ablate:
             # extrapolated stage guess once a previous accepted step exists
             Kg = predict_K(Kp, hp, h_eff, f0)
             K = jnp.where(pv[:, None, None], Kg, K)
@@ -637,14 +649,19 @@ def odeint_ensemble(
             Y = y[:, None, :] + h_eff[:, None, None] * jnp.einsum(
                 "ij,bjn->bin", A, K
             )
-            F = stage_eval(fB_used, t, h_eff, Y)
+            if "rhs" in _ablate:
+                F = Y * np.float32(1e-3) - K * np.float32(0.01)
+            else:
+                F = stage_eval(fB_used, t, h_eff, Y)
             R = F - K
             rn_new = norm_b(
                 (h_eff[:, None] * R.reshape(Bsz, -1)),
                 jnp.tile(scale, (1, 3)) * jnp.sqrt(3.0),
             )
             rn_new = jnp.where(jnp.isfinite(rn_new), rn_new, jnp.inf)
-            if block is not None:
+            if "solve" in _ablate:
+                dK = R
+            elif block is not None:
                 dK = solve_stages(R)
             else:
                 dK = solve(R, h_eff, J64, Pr, Pcr, Pci)
@@ -681,7 +698,13 @@ def odeint_ensemble(
         carry_n0 = (
             K, jnp.zeros(Bsz, bool), jnp.full((Bsz,), jnp.inf, dtype),
             jnp.full((Bsz,), jnp.inf, dtype), jnp.zeros((Bsz,), dtype))
-        if _cheap_n > 0:
+        if "newton" in _ablate:
+            # skip the whole Newton loop structure: fixed point = guess
+            conv = jnp.ones((Bsz,), bool)
+            newton_done = conv
+            res_n = jnp.zeros((Bsz,), dtype)
+            theta_n = jnp.zeros((Bsz,), dtype)
+        elif _cheap_n > 0:
             # hybrid precision: cheap-RHS sweeps first, then RESET the
             # done flags so every member runs the remaining sweeps on
             # the accurate RHS -- convergence (and the accepted K) is
@@ -699,14 +722,15 @@ def odeint_ensemble(
             Kc, _, dnc, rnc, thc = carry_n0
             carry_n0 = (Kc, jnp.zeros(Bsz, bool),
                         jnp.full((Bsz,), jnp.inf, dtype), rnc, thc)
-        (K, conv, _, res_n, theta_n), _ = lax.scan(
-            newton_with(fB), carry_n0, None,
-            length=newton_iters - _cheap_n,
-        )
-        # certify the linear solves: a silently-bad preconditioner makes
-        # Newton increments tiny while the system stays unsolved
-        newton_done = conv
-        conv = conv & (rho < 0.5) & jnp.isfinite(res_n)
+        if "newton" not in _ablate:
+            (K, conv, _, res_n, theta_n), _ = lax.scan(
+                newton_with(fB), carry_n0, None,
+                length=newton_iters - _cheap_n,
+            )
+            # certify the linear solves: a silently-bad preconditioner
+            # makes Newton increments tiny while the system stays unsolved
+            newton_done = conv
+            conv = conv & (rho < 0.5) & jnp.isfinite(res_n)
 
         y1 = y + h_eff[:, None] * jnp.einsum("j,bjn->bn", Bv, K)
 
@@ -715,7 +739,9 @@ def odeint_ensemble(
             jnp.einsum("j,bjn->bn", Bv - BHAT[1:], K) - BHAT[0] * f0
         )
         e32 = err_raw.astype(f32)
-        if block is not None:
+        if "err" in _ablate:
+            err_s = e32.astype(dtype)
+        elif block is not None:
             err_s = solve_err(e32)
         else:
             err_s32 = jnp.einsum("bnm,bm->bn", Pr, e32, precision=_HI)
@@ -733,6 +759,8 @@ def odeint_ensemble(
         err_norm = norm_b(err_s, scale2)
         err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
         err_norm = jnp.where(conv, err_norm, jnp.inf)
+        if "ctrl" in _ablate:
+            err_norm = jnp.full((Bsz,), 0.5, dtype)
 
         accept = (err_norm <= 1.0) & active
         err_c = jnp.clip(err_norm, 1e-10, 1e10)
@@ -791,29 +819,52 @@ def odeint_ensemble(
         # compensation vector carries the lost low-order bits, making the
         # accumulation effectively double-width for free elementwise cost.
         delta = h_eff[:, None] * jnp.einsum("j,bjn->bn", Bv, K)
-        u = delta + yc
-        y1k = y + u
-        yc1 = u - (y1k - y)
-        y_new = jnp.where(accept[:, None], y1k, y)
-        yc_new = jnp.where(accept[:, None], yc1, yc)
+        if "kahan" in _ablate:
+            y_new = jnp.where(accept[:, None], y + delta, y)
+            yc_new = yc
+        else:
+            u = delta + yc
+            y1k = y + u
+            yc1 = u - (y1k - y)
+            y_new = jnp.where(accept[:, None], y1k, y)
+            yc_new = jnp.where(accept[:, None], yc1, yc)
         # fval only seeds the next attempt's Newton start (predictor /
         # tile(f0)) and the BHAT[0]*f0 term of the error ESTIMATE -- both
         # noise-tolerant -- so in hybrid mode the cheap RHS suffices (the
         # accepted state itself never consumes fval)
-        f_cand = (fB_cheap if _cheap_n > 0 else fB)(t_new, y_new)
-        f_new = jnp.where(accept[:, None], f_cand, fval)
+        if "fcand" in _ablate:
+            f_new = fval
+        else:
+            f_cand = (fB_cheap if _cheap_n > 0 else fB)(t_new, y_new)
+            f_new = jnp.where(accept[:, None], f_cand, fval)
 
         # segment-boundary crossing: record the state, advance the pointer
         # (tolerance scaled to the working dtype: clamped steps land within
         # a few ulps of the boundary)
         eps_t = 8 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t_end), 1.0)
         crossed = accept & (t_new >= t_end - eps_t)
-        onehot = (jnp.arange(1, n_out)[:, None] == seg_c[None, :]) & crossed[None, :]
-        out = jnp.where(onehot[:, :, None], y_new[None, :, :], out)
+        if "outbuf" not in _ablate:
+            onehot = (jnp.arange(1, n_out)[:, None] == seg_c[None, :]) \
+                & crossed[None, :]
+            out = jnp.where(onehot[:, :, None], y_new[None, :, :], out)
         seg_new = seg + crossed.astype(jnp.int32)
 
         rejected = (~accept) & active
-        st_new = EnsembleStats(
+        if "stats" in _ablate:
+            st_new = st
+        else:
+            st_new = _stats_update(st, active, accept, rejected, newton_done,
+                                   conv, seg_new)
+        # predictor state: the last ACCEPTED step's stages and size
+        Kp_new = jnp.where(accept[:, None, None], K, Kp)
+        hp_new = jnp.where(accept, h_eff, hp)
+        pv_new = pv | accept
+        return (t_new, y_new, yc_new, f_new, h_new, J, Pr, Pcr, Pci, seg_new,
+                out, st_new, Kp_new, hp_new, pv_new, hbar), None
+
+    def _stats_update(st, active, accept, rejected, newton_done, conv,
+                      seg_new):
+        return EnsembleStats(
             st.n_fev + jnp.where(active, 3 * newton_iters + 1, 0),
             st.n_jev,
             st.n_accepted + accept.astype(jnp.int32),
@@ -823,12 +874,6 @@ def odeint_ensemble(
             st.n_rej_err + (rejected & conv).astype(jnp.int32),
             st.n_rej_rho + (rejected & newton_done & ~conv).astype(jnp.int32),
         )
-        # predictor state: the last ACCEPTED step's stages and size
-        Kp_new = jnp.where(accept[:, None, None], K, Kp)
-        hp_new = jnp.where(accept, h_eff, hp)
-        pv_new = pv | accept
-        return (t_new, y_new, yc_new, f_new, h_new, J, Pr, Pcr, Pci, seg_new,
-                out, st_new, Kp_new, hp_new, pv_new, hbar), None
 
     def run_chunk(state):
         (t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st,
@@ -853,7 +898,8 @@ def odeint_ensemble(
                      Kp, hp, pv, hbar)
             state, _ = lax.scan(attempt, state, None, length=chunk)
             return state
-        J = jacB(t, y).astype(f32)
+        if "jref" not in _ablate:
+            J = jacB(t, y).astype(f32)
         if block is not None:
             # block mode: carry the fresh (Jd, Jl[, Ju]) blocks; solvers
             # are rebuilt exactly from them at each attempt's h
@@ -902,9 +948,10 @@ def odeint_ensemble(
             return (jnp.where(m, Prc, Pr), jnp.where(m, Pcrc, Pcr),
                     jnp.where(m, Pcic, Pci))
 
-        Pr, Pcr, Pci = lax.cond(
-            jnp.any(need), rescue, lambda ops: ops, (Pr, Pcr, Pci)
-        )
+        if "rescue" not in _ablate:
+            Pr, Pcr, Pci = lax.cond(
+                jnp.any(need), rescue, lambda ops: ops, (Pr, Pcr, Pci)
+            )
         st = st._replace(n_jev=st.n_jev + 1)
 
         state = (t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st,
@@ -941,8 +988,11 @@ def odeint_ensemble(
         # stats are bit-identical because finished members were already
         # fully masked inside attempt() (only n_jev stops counting).
         seg = state[9]
-        alive = jnp.any(seg < n_out - 1)
-        state = lax.cond(alive, run_chunk, lambda s: s, state)
+        if "cond" in _ablate:
+            state = run_chunk(state)
+        else:
+            alive = jnp.any(seg < n_out - 1)
+            state = lax.cond(alive, run_chunk, lambda s: s, state)
         if _progress:
             st = state[11]
             jax.debug.callback(
