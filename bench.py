@@ -74,8 +74,15 @@ REF_NPZ = os.path.join(ROOT, "bench_ref.npz")
 LEGS = {
     "f32": dict(x64="0", rtol=1e-5, atol=1e-7, max_steps=768,
                 newton_iters=5, kw={"j_every": 8}),
+    # f32x b_total: the wall is a per-invocation fixed cost ~flat in B on
+    # this runtime (measured round 4: 24 s at B=512 ... 31 s at B=16384,
+    # identical attempts and accuracy -- scripts/fixed_cost_probe.py), so
+    # the qualifying leg integrates 4x the headline members in one
+    # device-resident call. Its block-mode carries are small (no dense
+    # (B,n,n) state), unlike the NS-mode f32 leg.
     "f32x": dict(x64="0", rtol=7e-7, atol=1e-9, max_steps=768,
                  newton_iters=5, call_chunks=1,
+                 b_total=int(os.environ.get("RMT_BENCH_B_F32X", "16384")),
                  kw={"j_every": 8, "accurate_rates": "df32",
                      "exact_solve": True, "cheap_sweeps": 2}),
     "f64": dict(x64="1", rtol=1e-7, atol=1e-10, max_steps=768,
@@ -297,14 +304,20 @@ def _leg_throughput(leg_name, t_ref, chemistry="dme", b_total=None):
     recovery pause). Returns the leg dict or None."""
     leg = LEGS[leg_name]
     b_total = b_total or B
-    default_chunk = {"f64": "256", "f32x": "1024"}.get(leg_name, "4096")
-    # f32: B=4096 fits in ONE device-resident batch since the fused Pallas
-    # NS kernel removed the stacked XLA intermediates. f64: the x64
-    # scan-of-pallas path kernel-faults at microbatch 512 (measured); 256
-    # is the verified ceiling. f32x: 1024/call measured best (round 3).
+    default_chunk = {"f64": "256"}.get(leg_name, "65536")
+    # f32/f32x: ONE device-resident invocation at ANY measured B. The
+    # round-4 cost attribution (scripts/ablate_inplace.py,
+    # fixed_cost_probe.py) showed the wall is a per-INVOCATION fixed cost
+    # ~flat in both B and attempt count on this runtime (f32x walls:
+    # B=512 24s ... B=16384 31s, attempts/accuracy identical), so
+    # splitting B across calls multiplies the only cost there is. The
+    # walk-down below still covers over-HBM crashes on other tunnels.
+    # f64: the x64 scan-of-pallas path kernel-faults at microbatch 512
+    # (measured); 256 is the verified ceiling.
     chunk_max = int(os.environ.get("RMT_BENCH_CHUNK", default_chunk))
     candidates = sorted(
-        {c for c in (min(b_total, chunk_max), 2048, 1024, 256, 64)
+        {c for c in (min(b_total, chunk_max), 8192, 4096, 2048, 1024, 256,
+                     64)
          if c <= min(b_total, chunk_max)},
         reverse=True,
     )
@@ -386,7 +399,8 @@ def main():
     for leg_name in leg_names:
         if os.environ.get(f"RMT_BENCH_SKIP_{leg_name.upper()}"):
             continue
-        leg = _leg_throughput(leg_name, t_ref)
+        leg = _leg_throughput(leg_name, t_ref,
+                              b_total=LEGS[leg_name].get("b_total"))
         if leg is not None:
             legs[leg_name] = leg
             _update_head(legs, t_ref, _north_star(legs))

@@ -28,17 +28,17 @@ BS = [int(b) for b in sys.argv[2:]] or [512, 1024]
 if LEG == "f32x":
     kw = dict(rtol=7e-7, atol=1e-9, newton_iters=5, j_every=8,
               accurate_rates="df32", exact_solve=True, cheap_sweeps=2)
-    steps_lo, steps_hi = 256, 768
+    steps_lo, steps_hi = 768, 768
 else:
     kw = dict(rtol=1e-5, atol=1e-7, newton_iters=5, j_every=8)
-    steps_lo, steps_hi = 256, 768
+    steps_lo, steps_hi = 768, 768
 
 
 def main():
     mi = make_model_input(model="N2")
     for B in BS:
         sweep = {"T0": jnp.asarray(523.0 + np.linspace(-5.0, 5.0, B))}
-        for steps in (steps_lo, steps_hi):
+        for steps in ([steps_lo] if steps_lo == steps_hi else [steps_lo, steps_hi]):
             t0 = time.perf_counter()
             ys, st = run_n2_ensemble_lockstep(
                 mi, sweep, max_steps=steps, **kw)
