@@ -11,8 +11,8 @@
 #                     max/mean relative state error vs a CPU-converged
 #                     f64 run (committed artifact bench_ref.npz) of a
 #                     16-member probe sweep EMBEDDED in the headline
-#                     batch -- accuracy is measured at B=4096 in the
-#                     same run that is timed, not in a separate config
+#                     batch -- accuracy is measured at the headline B in
+#                     the same run that is timed, not a separate config
 #   legs.*.attempts_mean/max  per-member integrator attempts, so a
 #                     future throughput regression is attributable to
 #                     attempt counts vs host noise from the artifact
@@ -74,15 +74,16 @@ REF_NPZ = os.path.join(ROOT, "bench_ref.npz")
 LEGS = {
     "f32": dict(x64="0", rtol=1e-5, atol=1e-7, max_steps=768,
                 newton_iters=5, kw={"j_every": 8}),
-    # f32x b_total: the wall is a per-invocation fixed cost ~flat in B on
-    # this runtime (measured round 4: 24 s at B=512 ... 31 s at B=16384,
-    # identical attempts and accuracy -- scripts/fixed_cost_probe.py), so
-    # the qualifying leg integrates 4x the headline members in one
-    # device-resident call. Its block-mode carries are small (no dense
-    # (B,n,n) state), unlike the NS-mode f32 leg.
+    # f32x b_total: the wall is a per-invocation fixed cost ~flat in B
+    # on this runtime (measured round 4, scripts/fixed_cost_probe.py:
+    # 24 s at B=512, 31 s at 16384, 49 s at 65536 -- identical attempt
+    # counts and accuracy, zero unfinished), so the qualifying leg
+    # integrates 16x the north-star member count in ONE device-resident
+    # call. Its block-mode carries are small (no dense (B,n,n) state),
+    # unlike the NS-mode f32 leg.
     "f32x": dict(x64="0", rtol=7e-7, atol=1e-9, max_steps=768,
                  newton_iters=5, call_chunks=1,
-                 b_total=int(os.environ.get("RMT_BENCH_B_F32X", "16384")),
+                 b_total=int(os.environ.get("RMT_BENCH_B_F32X", "65536")),
                  kw={"j_every": 8, "accurate_rates": "df32",
                      "exact_solve": True, "cheap_sweeps": 2}),
     "f64": dict(x64="1", rtol=1e-7, atol=1e-10, max_steps=768,
@@ -316,8 +317,8 @@ def _leg_throughput(leg_name, t_ref, chemistry="dme", b_total=None):
     # (measured); 256 is the verified ceiling.
     chunk_max = int(os.environ.get("RMT_BENCH_CHUNK", default_chunk))
     candidates = sorted(
-        {c for c in (min(b_total, chunk_max), 8192, 4096, 2048, 1024, 256,
-                     64)
+        {c for c in (min(b_total, chunk_max), 32768, 16384, 8192, 4096,
+                     2048, 1024, 256, 64)
          if c <= min(b_total, chunk_max)},
         reverse=True,
     )
@@ -391,9 +392,11 @@ def main():
         )
 
     legs = {}
-    # f32 first: it compiles and runs fastest, so a driver kill after the
-    # first leg still captures a headline. f32x second: the north star.
-    leg_names = ["f32", "f32x"]
+    # f32x FIRST: it is the north-star artifact (>=100x AND <=1e-6 at
+    # B>=4096) and the single most important thing a driver kill must not
+    # lose; the headline line re-emits the moment it lands. The f32 leg
+    # follows as the secondary (faster-but-4.5e-6) entry.
+    leg_names = ["f32x", "f32"]
     if os.environ.get("RMT_BENCH_F64"):
         leg_names.append("f64")
     for leg_name in leg_names:

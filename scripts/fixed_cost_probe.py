@@ -29,6 +29,12 @@ if LEG == "f32x":
     kw = dict(rtol=7e-7, atol=1e-9, newton_iters=5, j_every=8,
               accurate_rates="df32", exact_solve=True, cheap_sweeps=2)
     steps_lo, steps_hi = 768, 768
+elif LEG == "f32blk":
+    # the loose-tolerance plain-f32 leg on the exact-block engine: no
+    # dense (B,n,n) NS carries, so B scales like the f32x leg's
+    kw = dict(rtol=1e-5, atol=1e-7, newton_iters=5, j_every=8,
+              exact_solve=True)
+    steps_lo, steps_hi = 768, 768
 else:
     kw = dict(rtol=1e-5, atol=1e-7, newton_iters=5, j_every=8)
     steps_lo, steps_hi = 768, 768
