@@ -76,14 +76,14 @@ LEGS = {
                 newton_iters=5, kw={"j_every": 8}),
     # f32x b_total: the wall is a per-invocation fixed cost ~flat in B
     # on this runtime (measured round 4, scripts/fixed_cost_probe.py:
-    # 24 s at B=512, 31 s at 16384, 49 s at 65536 -- identical attempt
-    # counts and accuracy, zero unfinished), so the qualifying leg
-    # integrates 16x the north-star member count in ONE device-resident
-    # call. Its block-mode carries are small (no dense (B,n,n) state),
+    # 24 s at B=512, 31 s at 16384, 49 s at 65536, 69 s at 131072 --
+    # identical attempt counts and accuracy, zero unfinished), so the
+    # qualifying leg integrates 32x the north-star member count in ONE
+    # device-resident call. Its block-mode carries are small (no dense (B,n,n) state),
     # unlike the NS-mode f32 leg.
     "f32x": dict(x64="0", rtol=7e-7, atol=1e-9, max_steps=768,
                  newton_iters=5, call_chunks=1,
-                 b_total=int(os.environ.get("RMT_BENCH_B_F32X", "65536")),
+                 b_total=int(os.environ.get("RMT_BENCH_B_F32X", "131072")),
                  kw={"j_every": 8, "accurate_rates": "df32",
                      "exact_solve": True, "cheap_sweeps": 2}),
     "f64": dict(x64="1", rtol=1e-7, atol=1e-10, max_steps=768,
@@ -305,7 +305,7 @@ def _leg_throughput(leg_name, t_ref, chemistry="dme", b_total=None):
     recovery pause). Returns the leg dict or None."""
     leg = LEGS[leg_name]
     b_total = b_total or B
-    default_chunk = {"f64": "256"}.get(leg_name, "65536")
+    default_chunk = {"f64": "256"}.get(leg_name, "131072")
     # f32/f32x: ONE device-resident invocation at ANY measured B. The
     # round-4 cost attribution (scripts/ablate_inplace.py,
     # fixed_cost_probe.py) showed the wall is a per-INVOCATION fixed cost
@@ -317,8 +317,8 @@ def _leg_throughput(leg_name, t_ref, chemistry="dme", b_total=None):
     # (measured); 256 is the verified ceiling.
     chunk_max = int(os.environ.get("RMT_BENCH_CHUNK", default_chunk))
     candidates = sorted(
-        {c for c in (min(b_total, chunk_max), 32768, 16384, 8192, 4096,
-                     2048, 1024, 256, 64)
+        {c for c in (min(b_total, chunk_max), 65536, 32768, 16384, 8192,
+                     4096, 2048, 1024, 256, 64)
          if c <= min(b_total, chunk_max)},
         reverse=True,
     )
