@@ -126,3 +126,15 @@ def test_profile_env_nested_trace_degrades_gracefully(tmp_path, monkeypatch):
             _warnings.simplefilter("ignore", RuntimeWarning)
             res = rmtExe(make_model_input(model="N1"))
     assert "resModel" in res
+
+
+def test_fixed_stepper_divergence_raises():
+    """ivp='AM' routes to the fixed-step PreCorr3 marcher, which diverges
+    on the stiff N1 chemistry at the default AM_n -- rmtExe must raise
+    loudly instead of returning NaN states. (The reference CRASHES on
+    this input: its 'AM' string reaches scipy solve_ivp, which rejects
+    it, pbHomoReactor.py:2931.)"""
+    mi = make_model_input(model="N1")
+    mi["solver-config"] = {"ivp": "AM"}
+    with pytest.raises(RuntimeError, match="non-finite"):
+        rmtExe(mi)
