@@ -1,5 +1,7 @@
-# Headline benchmark: 4096-member dynamic reactor ensemble (N2, DME
-# chemistry) on one chip vs the sequential SciPy reference.
+# Headline benchmark: large dynamic reactor ensembles (N2, DME
+# chemistry) on one chip vs the sequential SciPy reference -- the
+# qualifying leg integrates 131072 members in one invocation; the
+# north-star claim is ">=4096 members AND >=100x AND <=1e-6".
 #
 # Prints JSON lines whose head matches the driver contract
 #   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
