@@ -54,9 +54,12 @@ sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tests"))
 
 T_START = time.monotonic()
-DEADLINE = float(os.environ.get("RMT_BENCH_DEADLINE", "2100"))
+# r4 died at rc=124 with DEADLINE=2100 (the driver's own timeout is
+# evidently tighter): 1200 s leaves headroom, and every leg/probe is
+# individually gated on remaining wall-clock.
+DEADLINE = float(os.environ.get("RMT_BENCH_DEADLINE", "1200"))
 B = int(os.environ.get("RMT_BENCH_B", "4096"))
-ACC_B = 16                      # probe members spliced into the big sweep
+CH4_ACC_B = 16                  # CH4 guard probe batch (accuracy only)
 REFERENCE_PATH = "/root/reference"
 REF_NPZ = os.path.join(ROOT, "bench_ref.npz")
 
@@ -85,7 +88,11 @@ LEGS = {
     # unlike the NS-mode f32 leg.
     "f32x": dict(x64="0", rtol=7e-7, atol=1e-9, max_steps=768,
                  newton_iters=5, call_chunks=1,
-                 b_total=int(os.environ.get("RMT_BENCH_B_F32X", "131072")),
+                 # smoke runs (RMT_BENCH_B set) size this leg too; the
+                 # 131072 headline applies only when nothing is overridden
+                 b_total=int(os.environ.get(
+                     "RMT_BENCH_B_F32X",
+                     os.environ.get("RMT_BENCH_B", "131072"))),
                  kw={"j_every": 8, "accurate_rates": "df32",
                      "exact_solve": True, "cheap_sweeps": 2}),
     "f64": dict(x64="1", rtol=1e-7, atol=1e-10, max_steps=768,
@@ -125,7 +132,9 @@ def _update_head(legs, t_ref, north):
     head = legs[head_name]
     _best.clear()
     _best.update({
-        "metric": f"n2_dme_ensemble{head['B']}_members_per_sec",
+        # STABLE metric name across rounds (the driver records a series);
+        # the batch size lives in legs.*.B
+        "metric": "n2_dme_ensemble_members_per_sec",
         "value": head["members_per_sec"],
         "unit": "reactors/s",
         "vs_baseline": head["vs_baseline"],
@@ -174,16 +183,17 @@ def measure_reference_seconds(model_input_factory):
         return None
 
 
-def _probe_layout(b, offsets16):
-    """Sweep offsets for b members with the 16 reference-probe T0 offsets
-    spliced in at evenly spaced indices (bit-exact: accuracy and
-    throughput come from the SAME run at the SAME batch size)."""
+def _probe_layout(b, offsets):
+    """Sweep offsets for b members with the reference-probe T0 offsets
+    (64 DME / 16 CH4, bench_ref.npz) spliced in at evenly spaced indices
+    (bit-exact: accuracy and throughput come from the SAME run at the
+    SAME batch size)."""
     import numpy as np
 
     sweep = np.linspace(-5.0, 5.0, b)
-    if b >= len(offsets16):
-        idx = np.round(np.linspace(0, b - 1, len(offsets16))).astype(int)
-        sweep[idx] = offsets16
+    if b >= len(offsets):
+        idx = np.round(np.linspace(0, b - 1, len(offsets))).astype(int)
+        sweep[idx] = offsets
     else:  # smoke-test sizes: no probe
         idx = np.arange(0)
     return sweep, idx
@@ -242,17 +252,27 @@ def child_tput(leg_name, b, n_chunks, chemistry="dme"):
     mi = make_model_input(model="N2")
 
     def run_rows(lo, hi):
+        """One compiled call over rows [lo, hi). Only the probe rows'
+        trajectories are recorded (out_members): the full (tNo, B, n)
+        output buffer was the single largest HBM term at headline B
+        (round-5 audit) while accuracy needs only the probe rows and
+        the budget/finiteness checks only need final states + stats."""
         n_here = (hi - lo) // b
         sweep = {"T0": jnp.asarray(t_base + sweep_all[lo:hi])}
-        ys, stats = run_n2_ensemble_lockstep(
-            mi, sweep, max_steps=leg["max_steps"],
-            rtol=leg["rtol"], atol=leg["atol"],
-            newton_iters=leg["newton_iters"],
-            microbatch=b if n_here > 1 else None,
-            **leg.get("kw", {}),
+        sel = probe_idx[(probe_idx >= lo) & (probe_idx < hi)] - lo
+        common = dict(
+            max_steps=leg["max_steps"], rtol=leg["rtol"], atol=leg["atol"],
+            newton_iters=leg["newton_iters"], **leg.get("kw", {}),
         )
-        np.asarray(ys[-1, 0, 0])  # host sync (block_until_ready lies on axon)
-        return ys, stats
+        if n_here > 1:  # multi-chunk call: microbatch scan, full ys
+            ys, stats = run_n2_ensemble_lockstep(
+                mi, sweep, microbatch=b, **common)
+            ys_sel, y_fin = ys[:, sel, :], ys[-1]
+        else:
+            ys_sel, y_fin, stats = run_n2_ensemble_lockstep(
+                mi, sweep, out_members=sel, **common)
+        np.asarray(y_fin[0, 0])  # host sync (block_until_ready lies on axon)
+        return ys_sel, y_fin, stats
 
     bounds = list(range(0, b_total + 1, k_call * b))
     if bounds[-1] != b_total:
@@ -270,11 +290,13 @@ def child_tput(leg_name, b, n_chunks, chemistry="dme"):
     t_ens = time.perf_counter() - t0
 
     ys_all, att_all, unfinished = [], [], 0
-    for ys, stats in outs:
-        assert bool(jnp.all(jnp.isfinite(ys[-1])))
-        unfinished += int(jnp.sum(stats.seg < ys.shape[0] - 1))
+    n_seg_full = None
+    for ys_sel, y_fin, stats in outs:
+        assert bool(jnp.all(jnp.isfinite(y_fin)))
+        n_seg_full = ys_sel.shape[0] - 1
+        unfinished += int(jnp.sum(stats.seg < n_seg_full))
         att_all.append(np.asarray(stats.n_accepted + stats.n_rejected))
-        ys_all.append(np.asarray(ys, np.float64))
+        ys_all.append(np.asarray(ys_sel, np.float64))
     assert unfinished == 0, \
         f"{unfinished}/{b_total} members exhausted the budget"
     att = np.concatenate(att_all)
@@ -284,7 +306,7 @@ def child_tput(leg_name, b, n_chunks, chemistry="dme"):
            "attempts_max": int(att.max())}
 
     if ref_ys is not None and probe_idx.size:
-        got = np.concatenate(ys_all, axis=1)[:, probe_idx, :]
+        got = np.concatenate(ys_all, axis=1)
         denom = np.maximum(np.abs(ref_ys), 1e-7)
         rel = np.abs(got - ref_ys) / denom
         out["max_rel_err"] = float(rel.max())
@@ -394,16 +416,16 @@ def main():
         )
 
     legs = {}
-    # f32x FIRST: it is the north-star artifact (>=100x AND <=1e-6 at
-    # B>=4096) and the single most important thing a driver kill must not
-    # lose; the headline line re-emits the moment it lands. The f32 leg
-    # follows as the secondary (faster-but-4.5e-6) entry.
-    leg_names = ["f32x", "f32"]
-    if os.environ.get("RMT_BENCH_F64"):
-        leg_names.append("f64")
-    for leg_name in leg_names:
-        if os.environ.get(f"RMT_BENCH_SKIP_{leg_name.upper()}"):
-            continue
+    # Leg order is claim-priority order (r4 post-mortem: the driver kill
+    # took everything after the first leg, so everything the north-star
+    # claim needs must land FIRST):
+    #   1. f32x qualifying leg (throughput + DME accuracy probe);
+    #   2. CH4 second-chemistry accuracy guard on the SAME configuration
+    #      (cheap: a B=16 probe-only run) -- part of the north-star
+    #      evidence that the df32 error model is not DME-specific;
+    #   3. f32 legacy-comparison leg, only if wall-clock remains;
+    #   4. f64, opt-in.
+    def _run_leg(leg_name):
         leg = _leg_throughput(leg_name, t_ref,
                               b_total=LEGS[leg_name].get("b_total"))
         if leg is not None:
@@ -411,17 +433,23 @@ def main():
             _update_head(legs, t_ref, _north_star(legs))
             emit()
 
-    # CH4 second-chemistry accuracy guard on the north-star configuration
-    # (df32 constants-splitting and exp/log ranges are chemistry-dependent):
-    # a B=16 probe-only run, no throughput claim.
-    if ("f32x" in legs and _remaining() > 420
+    if not os.environ.get("RMT_BENCH_SKIP_F32X"):
+        _run_leg("f32x")
+
+    if ("f32x" in legs and _remaining() > 180
             and not os.environ.get("RMT_BENCH_SKIP_CH4")):
-        ch4 = _leg_throughput("f32x", None, chemistry="ch4", b_total=ACC_B)
+        ch4 = _leg_throughput("f32x", None, chemistry="ch4",
+                              b_total=CH4_ACC_B)
         if ch4 and ch4.get("max_rel_err") is not None:
             legs["f32x"]["ch4_max_rel_err"] = ch4["max_rel_err"]
             legs["f32x"]["ch4_mean_rel_err"] = ch4["mean_rel_err"]
             _update_head(legs, t_ref, _north_star(legs))
             emit()
+
+    if _remaining() > 300 and not os.environ.get("RMT_BENCH_SKIP_F32"):
+        _run_leg("f32")
+    if os.environ.get("RMT_BENCH_F64") and _remaining() > 300:
+        _run_leg("f64")
 
     emit()
 

@@ -101,7 +101,7 @@ def _check_integration(stats, context: str):
     return d
 
 
-def _check_finite(ys, context: str):
+def _check_finite(ys, context: str, ivp: str = ""):
     """Fail loudly on non-finite states. Catches divergence the budget
     check cannot see -- the fixed steppers (ivp="AM") have no adaptive
     budget, so a blown-up fixed-step march (e.g. PreCorr3 on the stiff
@@ -109,11 +109,18 @@ def _check_finite(ys, context: str):
     (The reference CRASHES on these inputs instead: its "AM" string
     reaches scipy solve_ivp, which rejects it, pbHomoReactor.py:2931.)"""
     if not np.all(np.isfinite(ys)):
+        if ivp == "AM":
+            raise RuntimeError(
+                f"{context}: integration produced non-finite states. The "
+                "fixed-step marcher (solver-config ivp='AM') diverged on "
+                "a stiff problem -- raise AM_n or use a stiff method "
+                "(default/Radau/BDF/LSODA)."
+            )
         raise RuntimeError(
-            f"{context}: integration produced non-finite states. With "
-            "solver-config ivp='AM' this means the fixed-step marcher "
-            "diverged on a stiff problem -- raise AM_n or use a stiff "
-            "method (default/Radau/BDF/LSODA)."
+            f"{context}: integration produced non-finite states (the "
+            "adaptive solver accepted a step into a non-finite region; "
+            "check the feed/initial state and kinetics for out-of-domain "
+            "values, or tighten rtol/atol)."
         )
 
 
@@ -332,7 +339,7 @@ def _run_n1(model_input, spec: homo.HomoSpec, opts):
     ys, stats = runner(p)
     stats_d = _check_integration(stats, "N1")
     ys = np.asarray(ys)
-    _check_finite(ys, "N1")
+    _check_finite(ys, "N1", opts["ivp"])
 
     comp_list = list(spec.comp_list)
     n_comp = spec.n_comp
@@ -457,7 +464,7 @@ def _run_n2(model_input, spec: homo.HomoSpec, opts):
     ys, stats = runner(p, y_init, jnp.asarray(t_start))
     stats_d = _check_integration(stats, "N2")
     ys = np.asarray(ys)
-    _check_finite(ys, "N2")
+    _check_finite(ys, "N2", opts["ivp"])
 
     comp_list = list(spec.comp_list)
     n_comp = spec.n_comp

@@ -6,6 +6,7 @@
 # ensemble runs set RMT_TPU_X64=0 (or call setup(x64=False)) to run float32.
 
 import os
+import sys
 
 import jax
 
@@ -17,6 +18,12 @@ def setup(x64: bool | None = None) -> None:
     global _CONFIGURED
     if x64 is None:
         x64 = os.environ.get("RMT_TPU_X64", "1") != "0"
+    # Tracing the fused Pallas RHS (the df32 kinetics chain is ~12.5k ops
+    # deep through dsl -> df32 -> floatbits frames) exceeds CPython's
+    # default 1000-frame recursion limit under jax >= 0.9 (deeper tracer
+    # frames than the 0.8.x this code was first built on). Raise it once;
+    # never lower a user's higher setting.
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 10000))
     jax.config.update("jax_enable_x64", bool(x64))
     if not x64:
         # TPU lowers default-precision f32 matmuls to bf16 passes (4e-3

@@ -139,6 +139,7 @@ def run_n2_ensemble_lockstep(
     batched_rhs: bool | None = None,
     cheap_sweeps: int = 0,
     fused_rhs: bool | None = None,
+    lower_only: bool = False,
     **solver_kwargs,
 ):
     """N2 dynamic ensemble on the TPU-native lockstep integrator.
@@ -227,12 +228,25 @@ def run_n2_ensemble_lockstep(
     instead of microbatching).
 
     Returns (ys, stats): ys (tNo+1, B, varNo*zNo) dimensionless states.
+    With out_members=<int index array> (forwarded to
+    stiff_ensemble.odeint_ensemble; incompatible with microbatch) the
+    return is (ys_sel, y_final, stats): only the selected members'
+    trajectories are recorded -- the dominant (tNo, B, n) HBM buffer
+    shrinks to (tNo, P, n) -- while y_final carries every member's
+    final state (the reference's dataPack keeps only interval-end
+    states for ordinary members, pbHomoReactor.py:3628-3685).
     """
     spec = homo.build_spec(model_input)
     base = homo.build_params(model_input)
     if "opT" in sweep:
         raise ValueError("the lockstep integrator requires a shared period")
     params, axes = batch_params(base, sweep)
+
+    if solver_kwargs.get("out_members") is not None:
+        # hashable tuple: a static argument of the jitted integrator
+        solver_kwargs["out_members"] = tuple(
+            int(i) for i in np.asarray(solver_kwargs["out_members"])
+        )
 
     full_f64_rhs = accurate_rates == "full"
     df32_mode = accurate_rates == "df32"
@@ -482,6 +496,13 @@ def run_n2_ensemble_lockstep(
     if microbatch is not None and b_total and b_total > microbatch:
         if mesh is not None:
             raise ValueError("microbatch and mesh are mutually exclusive")
+        if "out_members" in solver_kwargs:
+            raise ValueError(
+                "out_members and microbatch are mutually exclusive "
+                "(probe indices are global, microbatches are local)"
+            )
+        if lower_only:
+            raise ValueError("lower_only supports single-batch runs only")
         if b_total % microbatch:
             raise ValueError(
                 f"ensemble size {b_total} must be a multiple of "
@@ -533,6 +554,13 @@ def run_n2_ensemble_lockstep(
 
     if mesh is not None:
         params = shard_batch(mesh, params, axes)
+    if lower_only:
+        # AOT hook (scripts/hbm_audit.py): lower the single-batch program
+        # without executing so compile-side diagnostics (XLA
+        # memory_analysis -- the only HBM surface on the axon runtime,
+        # device.memory_stats() returns None) can run at batch sizes that
+        # may not fit on the chip.
+        return jax.jit(run).lower(params)
     return jax.jit(run)(params)
 
 

@@ -111,7 +111,7 @@ def _cmatmul(ar, ai, br, bi):
 @partial(
     jax.jit,
     static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18, 19,
-                    20, 21, 22, 23, 24),
+                    20, 21, 22, 23, 24, 25),
 )
 def odeint_ensemble(
     f,
@@ -139,6 +139,7 @@ def odeint_ensemble(
     cheap_sweeps: int = 0,
     f_stages=None,
     f_cheap_stages=None,
+    out_members=None,
 ):
     """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
 
@@ -185,6 +186,20 @@ def odeint_ensemble(
     ACCURATE stage equations to theta^k * |f - f_cheap| (k accurate
     sweeps from an f_cheap-converged point), not the cheap ones.
     Returns (ys, stats) with ys of shape (n_out, B, n); ys[0] == y0.
+
+    out_members: optional host-side int index array (P,) into the batch.
+    When given, only those members' trajectories are recorded -- the
+    output buffer carried through the attempt scan shrinks from
+    (n_out-1, B, n) to (n_out-1, P, n) -- and the return becomes
+    (ys_sel, y_final, stats) with ys_sel (n_out, P, n) the selected
+    members' boundary states and y_final (B, n) EVERY member's final
+    integrated state. Motivation (measured round 5): the full (n_out-1,
+    B, n) buffer is rewritten by masked scatter every attempt, and at
+    the bench's B=131072 it is the largest single HBM buffer (~367 MB,
+    double-buffered by the scan) while the reference's dataPack
+    semantics only need interval-end states for non-probe members
+    (PyREMOT/docs/pbHomoReactor.py:3628-3685 keeps dataPack slices per
+    interval; full trajectories matter only to the accuracy probes).
     """
     if args is not None:
         f_ = lambda t, y: f(t, y, *args)
@@ -200,10 +215,26 @@ def odeint_ensemble(
     _ablate = frozenset(
         filter(None, os.environ.get("RMT_TPU_ABLATE", "").split(","))
     )
+    if _ablate:
+        # an ablated run is numerically WRONG; a leaked env var must
+        # never be mistaken for a real result (advisor finding r4)
+        print(
+            f"[rmt_tpu] WARNING: RMT_TPU_ABLATE={sorted(_ablate)} -- "
+            "structural elements are STUBBED OUT and results are wrong; "
+            "unset RMT_TPU_ABLATE unless attributing attempt cost",
+            file=sys.stderr, flush=True,
+        )
 
     y0 = jnp.asarray(y0)
     Bsz, n = y0.shape
     dtype = y0.dtype
+    if out_members is not None:
+        # static (hashable tuple): the recorded-member set is part of the
+        # compiled program's shape, not runtime data
+        out_idx = jnp.asarray(np.asarray(out_members, np.int32))
+        n_rec = int(out_idx.shape[0])
+    else:
+        out_idx, n_rec = None, Bsz
     f32 = jnp.float32
     if rhs_noise is None:
         if dtype == jnp.float32:
@@ -844,9 +875,15 @@ def odeint_ensemble(
         eps_t = 8 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t_end), 1.0)
         crossed = accept & (t_new >= t_end - eps_t)
         if "outbuf" not in _ablate:
-            onehot = (jnp.arange(1, n_out)[:, None] == seg_c[None, :]) \
-                & crossed[None, :]
-            out = jnp.where(onehot[:, :, None], y_new[None, :, :], out)
+            if out_idx is None:
+                seg_r, crossed_r, y_r = seg_c, crossed, y_new
+            else:  # record only the selected members' trajectories
+                seg_r = seg_c[out_idx]
+                crossed_r = crossed[out_idx]
+                y_r = y_new[out_idx]
+            onehot = (jnp.arange(1, n_out)[:, None] == seg_r[None, :]) \
+                & crossed_r[None, :]
+            out = jnp.where(onehot[:, :, None], y_r[None, :, :], out)
         seg_new = seg + crossed.astype(jnp.int32)
 
         rejected = (~accept) & active
@@ -1050,7 +1087,7 @@ def odeint_ensemble(
     zero_b = jnp.zeros(Bsz, jnp.int32)
     stats0 = EnsembleStats(zero_b + 1, jnp.asarray(1, jnp.int32), zero_b, zero_b,
                            zero_b, zero_b, zero_b, zero_b)
-    out0 = jnp.zeros((n_out - 1, Bsz, n), dtype)
+    out0 = jnp.zeros((n_out - 1, n_rec, n), dtype)
     state0 = (
         jnp.full((Bsz,), ts[0], dtype),
         y0,
@@ -1076,7 +1113,12 @@ def odeint_ensemble(
     y_fin, seg_final, out, stats = state[1], state[9], state[10], state[11]
     # members that exhausted the budget keep their final integrated state
     # in the remaining output slots (detectable via stats/n_accepted)
-    onehot_tail = jnp.arange(1, n_out)[:, None] > seg_final[None, :]
-    out = jnp.where(onehot_tail[:, :, None], y_fin[None, :, :], out)
-    ys = jnp.concatenate([y0[None], out], axis=0)
+    y_tail = y_fin if out_idx is None else y_fin[out_idx]
+    seg_tail = seg_final if out_idx is None else seg_final[out_idx]
+    onehot_tail = jnp.arange(1, n_out)[:, None] > seg_tail[None, :]
+    out = jnp.where(onehot_tail[:, :, None], y_tail[None, :, :], out)
+    y0_head = y0 if out_idx is None else y0[out_idx]
+    ys = jnp.concatenate([y0_head[None], out], axis=0)
+    if out_idx is not None:
+        return ys, y_fin, stats
     return ys, stats

@@ -601,3 +601,31 @@ def test_m13_sweep_with_mesh_sharding():
     assert out["gas"].shape[0] == B
     assert bool(jnp.all(out["converged"]))
     assert "dp" in str(out["gas"].sharding)
+
+
+def test_lockstep_out_members_probe_rows():
+    """out_members restricts the recorded trajectories to the probe rows
+    (the (n_out, B, n) output buffer is the dominant HBM term at bench
+    batch sizes); the selected rows, every member's final state, and the
+    per-member stats must be bit-identical to the full run."""
+    mi = make_model_input(model="N2")
+    sweep = {"T0": jnp.asarray(523.0 + np.linspace(-4.0, 4.0, 6))}
+    kw = dict(max_steps=768, rtol=1e-5, atol=1e-7, newton_iters=5)
+    ys_full, st_full = run_n2_ensemble_lockstep(mi, sweep, **kw)
+    idx = np.asarray([1, 4])
+    ys_sel, y_fin, st_sel = run_n2_ensemble_lockstep(
+        mi, sweep, out_members=idx, **kw
+    )
+    assert ys_sel.shape == (ys_full.shape[0], 2, ys_full.shape[2])
+    np.testing.assert_array_equal(
+        np.asarray(ys_sel), np.asarray(ys_full[:, idx, :])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(y_fin), np.asarray(ys_full[-1])
+    )
+    assert bool(jnp.all(st_sel.n_accepted == st_full.n_accepted))
+    assert bool(jnp.all(st_sel.seg == st_full.seg))
+    with pytest.raises(ValueError, match="out_members"):
+        run_n2_ensemble_lockstep(
+            mi, sweep, out_members=idx, microbatch=3, **kw
+        )
