@@ -16,6 +16,11 @@ import os
 import sys
 import time
 
+# f32 process like the bench child: an x64 process leaks int64 iotas into
+# the fused Pallas kernel, and Mosaic's int64->int32 convert lowering
+# recurses forever (jax 0.9 _convert_helper punts back to itself)
+os.environ.setdefault("RMT_TPU_X64", "0")
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tests"))
