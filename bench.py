@@ -341,8 +341,8 @@ def _leg_throughput(leg_name, t_ref, chemistry="dme", b_total=None):
     # (measured); 256 is the verified ceiling.
     chunk_max = int(os.environ.get("RMT_BENCH_CHUNK", default_chunk))
     candidates = sorted(
-        {c for c in (min(b_total, chunk_max), 65536, 32768, 16384, 8192,
-                     4096, 2048, 1024, 256, 64)
+        {c for c in (min(b_total, chunk_max), 131072, 65536, 32768, 16384,
+                     8192, 4096, 2048, 1024, 256, 64)
          if c <= min(b_total, chunk_max)},
         reverse=True,
     )
