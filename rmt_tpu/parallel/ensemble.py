@@ -762,7 +762,7 @@ def _run_m13_sweep_lockstep(
     atol: float,
     mesh: Mesh | None,
     max_steps_gas: int = 768,
-    homotopy_stages: int = 4,
+    homotopy_stages: int = 8,
     newton_iters_solid: int = 30,
 ):
     """Scan-based lockstep M13 ensemble (see run_m13_sweep docstring).
@@ -776,6 +776,15 @@ def _run_m13_sweep_lockstep(
     (solvers.newton.root_batched) over all B*zNo nodes at once with
     block-tridiagonal (layer, r) solves, and a bulk-homotopy rescue for
     nodes whose warm Newton diverges (see `rescue` below).
+
+    homotopy_stages=8: at production grids (rNo=7, the reference's T1
+    setting) the 4-stage rescue leaves the early-interval inlet nodes
+    unconverged -- the finer r-grid sharpens the LHHW nonlinearity and
+    the bulk jump per homotopy stage overshoots the Newton basin
+    (measured round 5, zNo=10/rNo=7/tNo=5: hs=4 converges 0/4 members
+    at newton_iters_solid 30 or 60; hs=8 converges 4/4 at 30). The
+    rescue is lax.cond-gated, so the larger budget costs nothing when
+    warm Newton succeeds.
     """
     from ..models import hetero_dyn
     from ..ops import jacobian as jac_ops

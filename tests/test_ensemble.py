@@ -629,3 +629,23 @@ def test_lockstep_out_members_probe_rows():
         run_n2_ensemble_lockstep(
             mi, sweep, out_members=idx, microbatch=3, **kw
         )
+
+
+def test_m13_lockstep_production_grid_converges():
+    """Regression (round 5): at the production grid (rNo=7, the
+    reference's T1 particle setting) the 4-stage bulk-homotopy rescue
+    left every early-interval inlet node unconverged; the default is
+    now homotopy_stages=8, which must converge every member."""
+    from test_m13 import _m13_model_input
+
+    from rmt_tpu.parallel import run_m13_sweep
+
+    mi = _m13_model_input()
+    mi["solver-config"] = dict(
+        mi.get("solver-config", {}), zNo=10, rNo=7, tNo=3
+    )
+    T0 = float(mi["operating-conditions"]["temperature"])
+    sweep = {"T0": jnp.asarray([T0, T0 + 8.0])}
+    out = run_m13_sweep(mi, sweep, engine="lockstep")
+    assert bool(jnp.all(out["converged"])), np.asarray(out["converged"])
+    assert int(jnp.sum(out["unreached"])) == 0
