@@ -764,6 +764,7 @@ def _run_m13_sweep_lockstep(
     max_steps_gas: int = 768,
     homotopy_stages: int = 8,
     newton_iters_solid: int = 30,
+    tol_solid: float | None = None,
 ):
     """Scan-based lockstep M13 ensemble (see run_m13_sweep docstring).
 
@@ -803,6 +804,23 @@ def _run_m13_sweep_lockstep(
     params, axes = batch_params(base, sweep)
     if mesh is not None:
         params = shard_batch(mesh, params, axes)
+
+    from .. import config as _config
+
+    if tol_solid is None:
+        # The solid Newton judges ||f||_rms < tol*(1 + ||x||_inf); the
+        # reachable residual floor is the evaluation noise of the LHHW
+        # residual on the backend: CPU f64 reaches 1e-9, TPU-emulated
+        # f64 transcendentals are only ~4e-8-accurate (STATUS hardware
+        # findings) and plain f32 floors near ~1e-6 (measured on-chip
+        # round 5: tol sweep at zNo=10/rNo=7 -- 1e-9 converges nothing,
+        # 3e-6 converges every member at unchanged state values).
+        if _config.x64_enabled():
+            _tol_solid = 1e-7 if jax.default_backend() == "tpu" else 1e-9
+        else:
+            _tol_solid = 3e-6
+    else:
+        _tol_solid = float(tol_solid)
 
     gas_rhs = hetero_dyn.make_m13_gas_rhs(
         spec, flux_sign=-1.0, mesh=None, clamp_width=0.0
@@ -865,7 +883,7 @@ def _run_m13_sweep_lockstep(
             )
             return newton_mod.root_batched(
                 res, x0, max_iter=newton_iters_solid,
-                jac=jac_solid, tol=1e-9,
+                jac=jac_solid, tol=_tol_solid,
                 block=(n_layer, r_no, "tridiag"),
             )
 

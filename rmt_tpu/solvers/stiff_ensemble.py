@@ -225,6 +225,14 @@ def odeint_ensemble(
             file=sys.stderr, flush=True,
         )
 
+    # Inner-Newton sweep unrolling (numerically identical; trace-time
+    # flag like _ablate). Round-5 attribution: the in-situ per-sweep cost
+    # is ~5x the standalone stage-eval kernels -- the suspect is
+    # inter-sweep carry materialization in the inner scan; unroll lets
+    # XLA fuse across sweeps. A/B on-chip before changing the default.
+    _newton_unroll = os.environ.get(
+        "RMT_TPU_NEWTON_UNROLL", "") not in ("", "0")
+
     y0 = jnp.asarray(y0)
     Bsz, n = y0.shape
     dtype = y0.dtype
@@ -748,7 +756,8 @@ def odeint_ensemble(
             # ratio is 0 and theta keeps its prior value; genuine rates
             # are measured from the second accurate sweep on.
             carry_n0, _ = lax.scan(
-                newton_with(fB_cheap), carry_n0, None, length=_cheap_n
+                newton_with(fB_cheap), carry_n0, None, length=_cheap_n,
+                unroll=_newton_unroll,
             )
             Kc, _, dnc, rnc, thc = carry_n0
             carry_n0 = (Kc, jnp.zeros(Bsz, bool),
@@ -757,6 +766,7 @@ def odeint_ensemble(
             (K, conv, _, res_n, theta_n), _ = lax.scan(
                 newton_with(fB), carry_n0, None,
                 length=newton_iters - _cheap_n,
+                unroll=_newton_unroll,
             )
             # certify the linear solves: a silently-bad preconditioner
             # makes Newton increments tiny while the system stays unsolved
