@@ -111,7 +111,7 @@ def _cmatmul(ar, ai, br, bi):
 @partial(
     jax.jit,
     static_argnums=(0, 5, 6, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18, 19,
-                    20, 21, 22, 23, 24, 25),
+                    20, 21, 22, 23, 24, 25, 26),
 )
 def odeint_ensemble(
     f,
@@ -140,6 +140,7 @@ def odeint_ensemble(
     f_stages=None,
     f_cheap_stages=None,
     out_members=None,
+    dense_output: bool = False,
 ):
     """Integrate a stiff ensemble dy/dt = f(t, y, *args) for every member.
 
@@ -200,6 +201,22 @@ def odeint_ensemble(
     semantics only need interval-end states for non-probe members
     (PyREMOT/docs/pbHomoReactor.py:3628-3685 keeps dataPack slices per
     interval; full trajectories matter only to the accuracy probes).
+
+    dense_output=True: output-boundary states come from the Radau
+    collocation interpolant y(t+theta*h) = y + h*sum_i L_i(theta)*K_i
+    (the cubic through the stage derivatives; L_i(1) = b_i, so the
+    boundary landed on exactly reproduces the accepted state) instead
+    of clamping every step to land on each of the n_out-1 boundaries.
+    This is what scipy's solve_ivp does (dense output + t_eval), so it
+    also mirrors the reference semantics. Steps then stop only at
+    ts[-1]; a single step may cross several boundaries. Worth it when
+    n_out is large relative to the natural step count: the N1 steady
+    profile asks for 101 output points and the forced stops cost
+    ~1750 attempts/trajectory vs ~300 natural steps. Interpolated
+    states carry the collocation error (~the local error estimate, so
+    ~rtol at the boundaries) rather than the accepted-endpoint error;
+    keep it OFF where boundary states must be endpoint-accurate (the
+    bench's f32x accuracy probes).
     """
     if args is not None:
         f_ = lambda t, y: f(t, y, *args)
@@ -266,6 +283,22 @@ def odeint_ensemble(
     atol = jnp.asarray(atol, dtype)
 
     c_np, A_np, b_np, bhat_np, w_np, T_np, Tinv_np = _transformed_tableau()
+    if dense_output:
+        # integrated Lagrange basis at the collocation nodes c:
+        # L_i(theta) = int_0^theta prod_{j!=i} (tau-c_j)/(c_i-c_j) dtau,
+        # a cubic with zero constant term. Coefficients descending
+        # (theta^3, theta^2, theta); check: L(1) == b (so the boundary
+        # a step lands on exactly reproduces the accepted y1).
+        dw_np = np.zeros((3, 3))
+        for i in range(3):
+            li = np.poly1d([1.0])
+            for j in range(3):
+                if j != i:
+                    li = li * np.poly1d([1.0, -c_np[j]]) / (
+                        c_np[i] - c_np[j])
+            dw_np[i, :] = np.polyint(li).coeffs[:3]
+        assert np.allclose(dw_np.sum(axis=1), b_np, atol=1e-12)
+        DW = jnp.asarray(dw_np, dtype)
     C = jnp.asarray(c_np, dtype)
     A = jnp.asarray(A_np, dtype)
     Bv = jnp.asarray(b_np, dtype)
@@ -617,7 +650,11 @@ def odeint_ensemble(
     def attempt(state, _):
         t, y, yc, fval, h, J, Pr, Pcr, Pci, seg, out, st, Kp, hp, pv, hbar = state
         seg_c = jnp.minimum(seg + 1, n_out - 1)
-        t_end = ts[seg_c]                               # (B,)
+        # dense mode: steps stop only at the final time (boundary states
+        # come from the collocation interpolant); clamped mode: at the
+        # next unwritten output boundary
+        t_end = (jnp.broadcast_to(ts[-1], seg_c.shape) if dense_output
+                 else ts[seg_c])                        # (B,)
         active = seg < (n_out - 1)
         h_eff = jnp.where(active, jnp.minimum(h, t_end - t), h)
         h_eff = jnp.maximum(h_eff, 1e-300)
@@ -883,18 +920,47 @@ def odeint_ensemble(
         # (tolerance scaled to the working dtype: clamped steps land within
         # a few ulps of the boundary)
         eps_t = 8 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t_end), 1.0)
-        crossed = accept & (t_new >= t_end - eps_t)
-        if "outbuf" not in _ablate:
-            if out_idx is None:
-                seg_r, crossed_r, y_r = seg_c, crossed, y_new
-            else:  # record only the selected members' trajectories
-                seg_r = seg_c[out_idx]
-                crossed_r = crossed[out_idx]
-                y_r = y_new[out_idx]
-            onehot = (jnp.arange(1, n_out)[:, None] == seg_r[None, :]) \
-                & crossed_r[None, :]
-            out = jnp.where(onehot[:, :, None], y_r[None, :, :], out)
-        seg_new = seg + crossed.astype(jnp.int32)
+        if dense_output:
+            # boundaries newly crossed by this accepted step: eps-shifted
+            # so the final clamped step (t_new == ts[-1] to within ulps)
+            # counts its boundary, and each boundary counts EXACTLY once
+            # (the predicate is a strict crossing of the shifted value;
+            # t advances monotonically through disjoint (t, t_new] spans)
+            eps_f = 8 * jnp.finfo(dtype).eps * jnp.maximum(
+                jnp.abs(ts[-1]), 1.0)
+            tsb = ts[1:] - eps_f                        # (n_out-1,)
+            m_cross = ((tsb[:, None] > t[None, :])
+                       & (tsb[:, None] <= t_new[None, :])
+                       & accept[None, :])               # (n_out-1, B)
+            if "outbuf" not in _ablate:
+                if out_idx is None:
+                    t_r, h_r, y_r, K_r, m_r = t, h_eff, y, K, m_cross
+                else:
+                    t_r, h_r = t[out_idx], h_eff[out_idx]
+                    y_r, K_r = y[out_idx], K[out_idx]
+                    m_r = m_cross[:, out_idx]
+                th = jnp.clip(
+                    (ts[1:, None] - t_r[None, :]) / h_r[None, :], 0.0, 1.0
+                )[:, :, None]                           # (n_out-1, P, 1)
+                w = ((DW[None, None, :, 0] * th + DW[None, None, :, 1])
+                     * th + DW[None, None, :, 2]) * th  # (n_out-1, P, 3)
+                y_d = y_r[None, :, :] + h_r[None, :, None] * jnp.einsum(
+                    "jps,psn->jpn", w, K_r)
+                out = jnp.where(m_r[:, :, None], y_d, out)
+            seg_new = seg + jnp.sum(m_cross, axis=0).astype(jnp.int32)
+        else:
+            crossed = accept & (t_new >= t_end - eps_t)
+            if "outbuf" not in _ablate:
+                if out_idx is None:
+                    seg_r, crossed_r, y_r = seg_c, crossed, y_new
+                else:  # record only the selected members' trajectories
+                    seg_r = seg_c[out_idx]
+                    crossed_r = crossed[out_idx]
+                    y_r = y_new[out_idx]
+                onehot = (jnp.arange(1, n_out)[:, None] == seg_r[None, :]) \
+                    & crossed_r[None, :]
+                out = jnp.where(onehot[:, :, None], y_r[None, :, :], out)
+            seg_new = seg + crossed.astype(jnp.int32)
 
         rejected = (~accept) & active
         if "stats" in _ablate:

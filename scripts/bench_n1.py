@@ -50,15 +50,18 @@ def build(mi, b, t_offsets):
     return f_batched, y0B, ts
 
 
-def run(mi, b, t_offsets, rtol=RTOL, atol=ATOL, max_steps=3072):
-    # 3072-attempt budget: the z-grid forces a stop at each of the 101
-    # output boundaries (the reference's LSODA uses dense output and
-    # doesn't), so a full N1 trajectory costs ~1700 attempts (measured
-    # CPU B=16: mean 1683 / max 1835, all finished)
+def run(mi, b, t_offsets, rtol=RTOL, atol=ATOL, max_steps=1536,
+        dense_output=True):
+    # dense_output: boundary states from the Radau collocation
+    # interpolant (round-5 feature) -- without it the z-grid forces a
+    # stop at each of the 101 output boundaries (the reference's LSODA
+    # uses dense output and doesn't) and a trajectory costs ~1700
+    # attempts (measured CPU B=16: mean 1683 / max 1835) instead of the
+    # ~300 natural steps
     f_batched, y0B, ts = build(mi, b, t_offsets)
     ys, st = stiff_ensemble.odeint_ensemble(
         f_batched, y0B, ts, rtol=rtol, atol=atol, max_steps=max_steps,
-        newton_iters=5, j_every=8, batched=True,
+        newton_iters=5, j_every=8, batched=True, dense_output=dense_output,
     )
     np.asarray(ys[-1, 0, 0])  # host sync
     return ys, st

@@ -182,3 +182,66 @@ def test_root_batched_bidiag_block():
     np.testing.assert_allclose(
         np.asarray(sol_b.x), np.asarray(sol_d.x), rtol=1e-8, atol=1e-12
     )
+
+
+def test_lockstep_dense_output_interpolant():
+    """dense_output=True records output-boundary states from the Radau
+    collocation interpolant instead of clamping steps onto every
+    boundary: on a linear stiff system the dense states must match the
+    exact solution at the step-controller tolerance, and the forced
+    stops disappear (fewer attempts than boundaries)."""
+    from rmt_tpu.solvers import stiff_ensemble
+
+    lam = jnp.asarray([[-1.0, -10.0], [-0.5, -40.0]])   # (B=2, n=2)
+
+    def f(t, y):
+        return lam * y
+
+    y0 = jnp.ones((2, 2))
+    ts = jnp.linspace(0.0, 2.0, 65)                      # 64 boundaries
+    ys_d, st_d = stiff_ensemble.odeint_ensemble(
+        f, y0, ts, rtol=1e-7, atol=1e-10, max_steps=512,
+        batched=True, dense_output=True,
+    )
+    assert int(jnp.min(st_d.seg)) == len(ts) - 1
+    exact = jnp.exp(lam[None] * ts[:, None, None]) * y0[None]
+    # error scaled like the step controller (atol + rtol*|y|): the fast
+    # components decay to ~1e-35 where any absolute floor dwarfs them
+    scaled = jnp.max(jnp.abs(ys_d - exact) / (1e-8 + 1e-5 * jnp.abs(exact)))
+    assert float(scaled) < 1.0, float(scaled)
+    # no forced boundary stops: dense costs no more attempts than the
+    # clamped mode (which must land on all 64 boundaries)
+    ys_c, st_c = stiff_ensemble.odeint_ensemble(
+        f, y0, ts, rtol=1e-7, atol=1e-10, max_steps=512,
+        batched=True,
+    )
+    att_d = jnp.max(st_d.n_accepted + st_d.n_rejected)
+    att_c = jnp.max(st_c.n_accepted + st_c.n_rejected)
+    assert int(att_d) <= int(att_c)
+    scaled_c = jnp.max(jnp.abs(ys_c - exact) / (1e-8 + 1e-5 * jnp.abs(exact)))
+    assert float(scaled_c) < 1.0, float(scaled_c)
+
+
+def test_lockstep_dense_output_n2_matches_clamped():
+    """On the N2 ensemble the dense trajectories agree with the clamped
+    ones within the step-control tolerance and cost no more attempts."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from dme_case import make_model_input
+
+    from rmt_tpu.parallel import run_n2_ensemble_lockstep
+
+    mi = make_model_input(model="N2")
+    sweep = {"T0": jnp.asarray([523.0, 527.0])}
+    kw = dict(max_steps=768, rtol=1e-5, atol=1e-7, newton_iters=5,
+              j_every=8)
+    ys_c, st_c = run_n2_ensemble_lockstep(mi, sweep, **kw)
+    ys_d, st_d = run_n2_ensemble_lockstep(mi, sweep, dense_output=True,
+                                          **kw)
+    assert int(jnp.min(st_d.seg)) == ys_d.shape[0] - 1
+    rel = jnp.max(jnp.abs(ys_d - ys_c) / jnp.maximum(jnp.abs(ys_c), 1e-7))
+    assert float(rel) < 5e-5, float(rel)
+    att_c = jnp.mean(st_c.n_accepted + st_c.n_rejected)
+    att_d = jnp.mean(st_d.n_accepted + st_d.n_rejected)
+    assert float(att_d) <= float(att_c) + 1
