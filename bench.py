@@ -68,11 +68,12 @@ REF_NPZ = os.path.join(ROOT, "bench_ref.npz")
 #   f32x -- north-star leg: f32 integrator with the kinetics chain in
 #           compensated double-float32 pairs (accurate_rates="df32",
 #           ops/df32.py -- pure f32 process, no emulated f64) + exact
-#           block-bidiagonal stage solves. rtol=7e-7: the run-to-run
-#           accuracy floor is ~7e-7 (measured on-chip B=16 vs a
-#           CPU-converged f64 run: rtol=1e-6 -> 9.8e-7, 7e-7 -> 6.6e-7,
-#           5e-7 -> 8.3e-7 -- non-monotone, so 7e-7 buys the best 1e-6
-#           margin at IDENTICAL attempts).
+#           block-bidiagonal stage solves. rtol=6e-7: the round-5
+#           64-probe on-chip margin sweep measured max_rel_err
+#           rtol=7e-7 -> 9.77e-7 at B=4096 / 8.94e-7 at B=131072
+#           (2-11% margin under the 1e-6 bar -- too thin), 6e-7 ->
+#           7.02e-7 (30% margin) at only +4% attempts, 5e-7 ->
+#           7.32e-7 at +14% (non-monotone below 6e-7).
 #   f64  -- full float64 (TPU-emulated) reference-grade leg (opt-in).
 # j_every=8 on the f32 legs: on-chip B=512 A/B measured 17.4 -> 23.7
 # members/s (fresher Jacobians break the Newton-failure limit cycle).
@@ -86,7 +87,7 @@ LEGS = {
     # qualifying leg integrates 32x the north-star member count in ONE
     # device-resident call. Its block-mode carries are small (no dense (B,n,n) state),
     # unlike the NS-mode f32 leg.
-    "f32x": dict(x64="0", rtol=7e-7, atol=1e-9, max_steps=768,
+    "f32x": dict(x64="0", rtol=6e-7, atol=1e-9, max_steps=768,
                  newton_iters=5, call_chunks=1,
                  # smoke runs (RMT_BENCH_B set) size this leg too; the
                  # 131072 headline applies only when nothing is overridden
