@@ -26,7 +26,7 @@
 #     captures everything finished so far;
 #   * SIGTERM/SIGINT emit the best-so-far line before exiting (the
 #     driver wraps the run in `timeout`, which sends SIGTERM first);
-#   * an internal deadline (RMT_BENCH_DEADLINE seconds, default 2100)
+#   * an internal deadline (RMT_BENCH_DEADLINE seconds, default 1200)
 #     gates every leg/child on remaining wall-clock;
 #   * the converged f64 accuracy reference ships as a committed artifact
 #     (bench_ref.npz, scripts/gen_bench_ref.py) instead of a ~10 min
